@@ -1,0 +1,48 @@
+"""Broadphase: AABB overlap over static candidate-pair tables.
+
+The reference uses a persistent sort-and-sweep on one axis with insertion-sort
+temporal coherence (/root/reference/src/physics/collision_broad.cpp). A
+mutating sorted-endpoint list is a poor fit for XLA; instead, collider types
+and ownership are static per scene, so the builder pre-computes pruned
+candidate pair tables bucketed by type pair (the reference's 6x6 matrix,
+collision_narrow.cpp:2343-2453, moved to build time). At runtime each bucket
+does a masked AABB-overlap test and compacts the overlapping pairs into a
+fixed-capacity buffer with `top_k` (the capacity mirrors the reference's
+conservative arena sizing, physics.cpp:1212-1228; overflow is counted, not
+UB).
+
+For very large scenes, the O(P) pair table (P ~ C^2/2) is still cheap in
+flops but the follow-up compaction cost dominates; a Pallas sweep kernel can
+replace the masked test later without changing this interface.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def aabb_overlap_mask(aabb_min, aabb_max, pairs):
+    """pairs: (P, 2) collider indices. Returns (P,) bool overlap."""
+    a, b = pairs[:, 0], pairs[:, 1]
+    no = (jnp.any(aabb_min[a] > aabb_max[b], axis=-1)
+          | jnp.any(aabb_min[b] > aabb_max[a], axis=-1))
+    return ~no
+
+
+def compact_pairs(pairs, mask, k):
+    """Select up to `k` overlapping pairs (deterministically: lowest pair
+    index first). Returns (sel_pairs (k,2), sel_mask (k,), num_dropped ())."""
+    p = pairs.shape[0]
+    if k >= p:
+        return pairs, mask, jnp.int32(0)
+    # score: overlapping pairs first, each preferring lower index
+    idx = jnp.arange(p, dtype=jnp.int32)
+    score = jnp.where(mask, p - idx, -idx)
+    _, sel = jax.lax.top_k(score, k)
+    sel_mask = mask[sel]
+    dropped = jnp.maximum(jnp.sum(mask.astype(jnp.int32)) - k, 0)
+    return pairs[sel], sel_mask, dropped
+
+
+import jax.lax  # noqa: E402  (used above)
+import jax  # noqa: E402

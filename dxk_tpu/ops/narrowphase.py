@@ -1,0 +1,390 @@
+"""Narrowphase contact generation — branchless TPU versions of the
+reference's per-type-pair `intersection()` routines
+(/root/reference/src/physics/collision_narrow.cpp; recipe table in
+SURVEY.md §2.1b).
+
+Each `*_contact` function handles ONE world-space pair and returns a fixed
+4-slot manifold `(points (4,3), depths (4,), normal (3,), count (), hit ())`;
+the dispatcher in `physics.py` vmaps them over each static type-pair bucket.
+Normals point from collider A to collider B. All branches are evaluated and
+mask-selected; separating pairs return hit=False and are masked out of the
+solver.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from dxk_tpu.core.maths import (cross, dot, get_tangents, length, lerp,
+                                normalize, quat_conj, quat_inv_rotate,
+                                quat_rotate, quat_to_mat3, squared_length)
+from dxk_tpu.ops.geometry import (closest_point_point_aabb,
+                                  closest_point_point_segment,
+                                  closest_point_segment_segment)
+from dxk_tpu.ops.manifold import (POLY_SLOTS, make_plane, project_and_filter,
+                                  reduce_manifold, signed_distance,
+                                  sutherland_hodgman)
+
+EPSILON = 1e-6  # math.h:22
+
+_UP = jnp.array([0.0, 1.0, 0.0], jnp.float32)
+
+
+def _empty_manifold(dtype=jnp.float32):
+    return (jnp.zeros((4, 3), dtype), jnp.zeros((4,), dtype),
+            jnp.array([0.0, 1.0, 0.0], dtype), jnp.int32(0), jnp.bool_(False))
+
+
+def _one_point(point, depth, normal, hit):
+    pts = jnp.zeros((4, 3), point.dtype).at[0].set(point)
+    dps = jnp.zeros((4,), point.dtype).at[0].set(depth)
+    return pts, dps, normal, jnp.where(hit, 1, 0).astype(jnp.int32), hit
+
+
+# ---------------------------------------------------------------------------
+# sphere family (collision_narrow.cpp:374-495)
+
+
+def sphere_sphere_contact(c1, r1, c2, r2):
+    n = c2 - c1
+    radius_sum = r1 + r2
+    sq = squared_length(n)
+    hit = sq <= radius_sum * radius_sum
+    degenerate = sq == 0.0
+    dist = jnp.sqrt(jnp.maximum(sq, 0.0))
+    normal = jnp.where(degenerate, _UP, n / jnp.maximum(dist, 1e-30))
+    depth = radius_sum - jnp.where(degenerate, 0.0, dist)
+    point = 0.5 * (c1 + r1 * normal + c2 - r2 * normal)
+    return _one_point(point, depth, normal, hit)
+
+
+def sphere_capsule_contact(sc, sr, ca, cb, cr):
+    closest = closest_point_point_segment(sc, ca, cb)
+    return sphere_sphere_contact(sc, sr, closest, cr)
+
+
+def sphere_cylinder_contact(sc, sr, ca, cb, cr):
+    """collision_narrow.cpp:408-450: lateral body behaves like a sphere on
+    the axis; beyond the caps, closest point on the cap disk rim/face."""
+    ab = cb - ca
+    t = dot(sc - ca, ab) / jnp.maximum(squared_length(ab), 1e-12)
+    inside = (t >= 0.0) & (t <= 1.0)
+
+    # lateral case
+    lat = sphere_sphere_contact(sc, sr, lerp(ca, cb, t[..., None]), cr)
+
+    # cap case
+    p = jnp.where(t <= 0.0, ca, cb)
+    up = jnp.where(t <= 0.0, -ab, ab)
+    proj = cross(cross(up, sc - p), up)
+    proj = proj / jnp.maximum(length(proj), 1e-30)
+    end_a = p + proj * cr
+    end_b = p - proj * cr
+    closest = closest_point_point_segment(sc, end_a, end_b)
+    nvec = closest - sc
+    sq = squared_length(nvec)
+    cap_hit = sq <= sr * sr
+    degenerate = sq == 0.0
+    dist = jnp.sqrt(jnp.maximum(sq, 0.0))
+    normal = jnp.where(degenerate, -normalize(up), nvec / jnp.maximum(dist, 1e-30))
+    depth = sr - jnp.where(degenerate, 0.0, dist)
+    point = closest + 0.5 * depth * nvec
+    cap = _one_point(point, depth, normal, cap_hit)
+
+    return tuple(jnp.where(inside, l, c) for l, c in zip(lat, cap))
+
+
+def sphere_box_contact(sc, sr, bc, bh, bq):
+    """Sphere vs OBB via rotate-to-box-local sphere-vs-AABB
+    (collision_narrow.cpp:451-494)."""
+    sc_l = quat_inv_rotate(bq, sc - bc)
+    p = closest_point_point_aabb(sc_l, -bh, bh)
+    n = p - sc_l
+    sq = squared_length(n)
+    hit = sq <= sr * sr
+    dist = jnp.sqrt(jnp.maximum(sq, 0.0))
+    n = jnp.where(sq > 0.0, n / jnp.maximum(dist, 1e-30), _UP)
+    depth = sr - jnp.where(sq > 0.0, dist, 0.0)
+    point_l = 0.5 * (p + sc_l + n * sr)
+    normal = quat_rotate(bq, n)
+    point = quat_rotate(bq, point_l) + bc
+    return _one_point(point, depth, normal, hit)
+
+
+# ---------------------------------------------------------------------------
+# capsule family (collision_narrow.cpp:523-704)
+
+
+def capsule_capsule_contact(aa, ab, ar, ba, bb, br):
+    a_dir = ab - aa
+    a_len = length(a_dir)
+    a_dir = a_dir / jnp.maximum(a_len, 1e-30)
+    b_dir = normalize(bb - ba)
+    par = dot(a_dir, b_dir)
+    is_parallel = jnp.abs(par) > 0.99
+
+    # ---- parallel: 2-contact manifold by 1D interval overlap (523-604)
+    p_ba = jnp.where(par < 0.0, bb, ba)
+    p_bb = jnp.where(par < 0.0, ba, bb)
+    b0 = dot(a_dir, p_ba - aa)
+    b1 = dot(a_dir, p_bb - aa)
+    left = jnp.maximum(0.0, b0)
+    right = jnp.minimum(a_len, b1)
+    overlaps = right >= left
+
+    # interval overlap manifold
+    ca0 = aa + left[..., None] * a_dir
+    ca1 = aa + right[..., None] * a_dir
+    cb0 = closest_point_point_segment(ca0, p_ba, p_bb)
+    cb1 = cb0 + (right - left)[..., None] * a_dir
+    nvec = cb0 - ca0
+    d = length(nvec)
+    degen = d < EPSILON
+    normal = jnp.where(degen, _UP, nvec / jnp.maximum(d, 1e-30))
+    pen = (ar + br) - jnp.where(degen, 0.0, d)
+    two_hit = overlaps & (pen >= 0.0)
+    pts2 = jnp.zeros((4, 3), aa.dtype).at[0].set((ca0 + cb0) * 0.5).at[1].set((ca1 + cb1) * 0.5)
+    dps2 = jnp.zeros((4,), aa.dtype).at[0].set(pen).at[1].set(pen)
+    two = (pts2, dps2, normal, jnp.where(two_hit, 2, 0).astype(jnp.int32), two_hit)
+
+    # disjoint intervals -> end-sphere vs end-sphere (560-568)
+    use_a0 = 0.0 > b1  # a's interval entirely right of b's
+    s_a = jnp.where(use_a0, aa, ab)
+    s_b = jnp.where(use_a0, p_bb, p_ba)
+    ends = sphere_sphere_contact(s_a, ar, s_b, br)
+    par_res = tuple(jnp.where(overlaps, t, e) for t, e in zip(two, ends))
+
+    # ---- non-parallel: closest points -> sphere-sphere (606-611)
+    c1, c2, _ = closest_point_segment_segment(aa, ab, ba, bb)
+    gen = sphere_sphere_contact(c1, ar, c2, br)
+
+    return tuple(jnp.where(is_parallel, p, g) for p, g in zip(par_res, gen))
+
+
+def capsule_cylinder_contact(aa, ab, ar, ba, bb, br):
+    """collision_narrow.cpp:614-704: parallel -> 2-point manifold along the
+    overlap; otherwise segment-segment closest point -> sphere-cylinder."""
+    a_dir = ab - aa
+    a_len = length(a_dir)
+    a_dir = a_dir / jnp.maximum(a_len, 1e-30)
+    b_dir = normalize(bb - ba)
+    par = dot(a_dir, b_dir)
+    is_parallel = jnp.abs(par) > 0.99
+
+    p_ba = jnp.where(par < 0.0, bb, ba)
+    p_bb = jnp.where(par < 0.0, ba, bb)
+    b0 = dot(a_dir, p_ba - aa)
+    b1 = dot(a_dir, p_bb - aa)
+    left = jnp.maximum(0.0, b0)
+    right = jnp.minimum(a_len, b1)
+    overlaps = right >= left
+
+    ca0 = aa + left[..., None] * a_dir
+    ca1 = aa + right[..., None] * a_dir
+    cb0 = closest_point_point_segment(ca0, p_ba, p_bb)
+    cb1 = cb0 + (right - left)[..., None] * a_dir
+    nvec = cb0 - ca0
+    d = length(nvec)
+    degen = d < EPSILON
+    normal = jnp.where(degen, _UP, nvec / jnp.maximum(d, 1e-30))
+    pen = (ar + br) - jnp.where(degen, 0.0, d)
+    two_hit = overlaps & (pen >= 0.0)
+    pts2 = jnp.zeros((4, 3), aa.dtype).at[0].set((ca0 + cb0) * 0.5).at[1].set((ca1 + cb1) * 0.5)
+    dps2 = jnp.zeros((4,), aa.dtype).at[0].set(pen).at[1].set(pen)
+    two = (pts2, dps2, normal, jnp.where(two_hit, 2, 0).astype(jnp.int32), two_hit)
+
+    # parallel but no axial overlap: capsule end sphere vs cylinder
+    use_a0 = 0.0 > b1
+    s_end = jnp.where(use_a0, aa, ab)
+    ends = sphere_cylinder_contact(s_end, ar, ba, bb, br)
+    par_res = tuple(jnp.where(overlaps, t, e) for t, e in zip(two, ends))
+
+    c1, _, _ = closest_point_segment_segment(aa, ab, ba, bb)
+    gen = sphere_cylinder_contact(c1, ar, ba, bb, br)
+    return tuple(jnp.where(is_parallel, p, g) for p, g in zip(par_res, gen))
+
+
+# ---------------------------------------------------------------------------
+# box-box: 15-axis SAT + reference-face clipping / edge-edge closest point
+# (collision_narrow.cpp:1179-1527)
+
+
+def _one_hot3(i, dtype):
+    return (jnp.arange(3) == i).astype(dtype)
+
+
+def _aabb_clip_planes_local(h, n_local):
+    """getAABBClippingPlanes (collision_narrow.cpp:225-254): 4 side planes of
+    the face most aligned with n_local, in box-local space.
+    Returns (points (4,3), normals (4,3))."""
+    p = jnp.abs(n_local)
+    m = jnp.argmax(p)
+    a0 = (m + 1) % 3
+    a1 = (m + 2) % 3
+    e0 = _one_hot3(a0, h.dtype)
+    e1 = _one_hot3(a1, h.dtype)
+    normals = jnp.stack([e0, e1, -e0, -e1])
+    points = jnp.stack([-h, -h, h, h])
+    return points, normals
+
+
+def _aabb_incident_vertices_local(h, n_local):
+    """getAABBIncidentVertices (collision_narrow.cpp:257-289): the 4 corners
+    of the face pointing *against* n_local, box-local."""
+    p = jnp.abs(n_local)
+    m = jnp.argmax(p)
+    a0 = (m + 1) % 3
+    a1 = (m + 2) % 3
+    s = jnp.where(n_local[m] < 0.0, 1.0, -1.0)
+    em = _one_hot3(m, h.dtype)
+    e0 = _one_hot3(a0, h.dtype)
+    e1 = _one_hot3(a1, h.dtype)
+    d = h[m] * s
+    r0, r1 = h[a0], h[a1]
+    base = em * d
+    return jnp.stack([
+        base - e0 * r0 - e1 * r1,
+        base + e0 * r0 - e1 * r1,
+        base + e0 * r0 + e1 * r1,
+        base - e0 * r0 + e1 * r1,
+    ])
+
+
+def _aabb_incident_edge_local(h, n_local):
+    """getAABBIncidentEdge (collision_narrow.cpp:301-336)."""
+    p = jnp.abs(n_local)
+    out_a = h
+    b_xy = jnp.array([1.0, 1.0, -1.0], h.dtype) * h  # flip z
+    b_xz = jnp.array([1.0, -1.0, 1.0], h.dtype) * h  # flip y
+    b_yz = jnp.array([-1.0, 1.0, 1.0], h.dtype) * h  # flip x
+    out_b = jnp.where(p[0] > p[1],
+                      jnp.where(p[1] > p[2], b_xy, b_xz),
+                      jnp.where(p[0] > p[2], b_xy, b_yz))
+    s = jnp.where(n_local < 0.0, -1.0, 1.0)
+    return out_a * s, out_b * s
+
+
+def _obb_support(c, h, q, n):
+    """Support point of an OBB along world direction n."""
+    nl = quat_inv_rotate(q, n)
+    return c + quat_rotate(q, jnp.where(nl >= 0.0, h, -h))
+
+
+def box_box_contact(ca, ha, qa, cb, hb, qb):
+    dtype = ca.dtype
+    Ra = quat_to_mat3(qa)   # columns = world axes of A
+    Rb = quat_to_mat3(qb)
+    R = Ra.T @ Rb           # r[i][j] = dot(axisA_i, axisB_j)
+    tw = cb - ca
+    t = quat_inv_rotate(qa, tw)
+
+    absR = jnp.abs(R) + EPSILON
+    parallel = jnp.any(absR >= 0.99)
+
+    # --- face tests (6)
+    pen_face_a = ha + absR @ hb - jnp.abs(t)                    # (3,)
+    pen_face_b = absR.T @ ha + hb - jnp.abs(R.T @ t)            # (3,)
+
+    # --- edge tests (9): axis = e_i x R[:, j] in A-local
+    eye = jnp.eye(3, dtype=dtype)
+
+    def edge_case(i, j):
+        axis = cross(eye[i], R[:, j])
+        k1, k2 = (i + 1) % 3, (i + 2) % 3
+        # ra uses absR entries exactly like the reference's per-case formulas
+        ra = ha[k1] * absR[k2, j] + ha[k2] * absR[k1, j]
+        l1, l2 = (j + 1) % 3, (j + 2) % 3
+        rb = hb[l1] * absR[i, l2] + hb[l2] * absR[i, l1]
+        dist = jnp.abs(dot(t, axis))
+        pen_raw = ra + rb - dist
+        inv_len = 1.0 / jnp.maximum(length(axis), 1e-30)
+        return pen_raw, pen_raw * inv_len, axis * inv_len
+
+    edge_raw, edge_pen, edge_axes = [], [], []
+    for i in range(3):
+        for j in range(3):
+            praw, p, ax = edge_case(i, j)
+            edge_raw.append(praw)
+            edge_pen.append(p)
+            edge_axes.append(ax)
+    edge_raw = jnp.stack(edge_raw)
+    edge_pen = jnp.stack(edge_pen)
+    edge_axes = jnp.stack(edge_axes)
+
+    separated = (jnp.any(pen_face_a < 0.0) | jnp.any(pen_face_b < 0.0)
+                 | (~parallel & jnp.any(edge_raw < 0.0)))
+    hit = ~separated
+
+    big = jnp.float32(3.4e38)
+    scores = jnp.concatenate([
+        pen_face_a, pen_face_b,
+        jnp.where(parallel, big, edge_pen),
+    ])
+    winner = jnp.argmin(scores)
+    is_face_a = winner < 3
+    is_face_b = (winner >= 3) & (winner < 6)
+    is_edge = winner >= 6
+
+    # normal in A-local space
+    n_face_a = eye[jnp.minimum(winner, 2)]
+    n_face_b = R[:, jnp.clip(winner - 3, 0, 2)]
+    n_edge = edge_axes[jnp.clip(winner - 6, 0, 8)]
+    n_local = jnp.where(is_face_a, n_face_a,
+                        jnp.where(is_face_b, n_face_b, n_edge))
+    normal = quat_rotate(qa, n_local)
+    normal = jnp.where(dot(normal, tw) < 0.0, -normal, normal)
+
+    # ---- face case: reference-face clipping (1438-1495)
+    ref_c = jnp.where(is_face_b, cb, ca)
+    ref_h = jnp.where(is_face_b, hb, ha)
+    ref_q = jnp.where(is_face_b, qb, qa)
+    inc_c = jnp.where(is_face_b, ca, cb)
+    inc_h = jnp.where(is_face_b, ha, hb)
+    inc_q = jnp.where(is_face_b, qa, qb)
+    ref_n = jnp.where(is_face_b, -normal, normal)
+
+    cp_pts_l, cp_nrm_l = _aabb_clip_planes_local(ref_h, quat_inv_rotate(ref_q, ref_n))
+    inc_v_l = _aabb_incident_vertices_local(inc_h, quat_inv_rotate(inc_q, ref_n))
+    cp_pts = quat_rotate(ref_q[None, :], cp_pts_l) + ref_c
+    cp_nrm = quat_rotate(ref_q[None, :], cp_nrm_l)
+    inc_v = quat_rotate(inc_q[None, :], inc_v_l) + inc_c
+
+    ref_plane = make_plane(_obb_support(ref_c, ref_h, ref_q, ref_n), ref_n)
+    clip_planes = jnp.concatenate([cp_nrm, -jnp.sum(cp_nrm * cp_pts, axis=-1,
+                                                    keepdims=True)], axis=-1)
+
+    poly_v = jnp.zeros((POLY_SLOTS, 3), dtype).at[:4].set(inc_v)
+    poly_d = jnp.zeros((POLY_SLOTS,), dtype).at[:4].set(
+        -signed_distance(inc_v, ref_plane))
+    poly_v, poly_d, n_pts = sutherland_hodgman(poly_v, poly_d, jnp.int32(4),
+                                               clip_planes)
+    poly_v, poly_d, n_pts = project_and_filter(poly_v, poly_d, n_pts, ref_plane)
+    face_pts, face_dps, face_count = reduce_manifold(poly_v, poly_d, n_pts, normal)
+    face_hit = n_pts > 0
+
+    # ---- edge case: closest point between the two incident edges (1496-1518)
+    a0l, a1l = _aabb_incident_edge_local(ha, quat_inv_rotate(qa, normal))
+    b0l, b1l = _aabb_incident_edge_local(hb, quat_inv_rotate(qb, -normal))
+    a0 = quat_rotate(qa, a0l) + ca
+    a1 = quat_rotate(qa, a1l) + ca
+    b0 = quat_rotate(qb, b0l) + cb
+    b1 = quat_rotate(qb, b1l) + cb
+    pa, pb, sq = closest_point_segment_segment(a0, a1, b0, b1)
+    edge_pts = jnp.zeros((4, 3), dtype).at[0].set((pa + pb) * 0.5)
+    edge_dps = jnp.zeros((4,), dtype).at[0].set(jnp.sqrt(jnp.maximum(sq, 0.0)))
+
+    pts = jnp.where(is_edge, edge_pts, face_pts)
+    dps = jnp.where(is_edge, edge_dps, face_dps)
+    count = jnp.where(is_edge, 1, face_count).astype(jnp.int32)
+    hit = hit & jnp.where(is_edge, True, face_hit)
+    count = jnp.where(hit, count, 0)
+    return pts, dps, normal, count, hit
+
+
+# ---------------------------------------------------------------------------
+# boolean overlap tests for triggers / force fields (overlapCheck,
+# collision_narrow.cpp:1593-1689). Round-1: reuse the contact tests.
+
+
+def shapes_overlap(manifold):
+    return manifold[4]

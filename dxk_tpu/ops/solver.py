@@ -1,0 +1,983 @@
+"""Sequential-impulse velocity constraint solver.
+
+TPU rebuild of the reference's PGS solver
+(/root/reference/src/physics/constraints.cpp): 7 constraint types —
+distance / ball / fixed / hinge / cone-twist / slider / collision — each with
+a prep pass (effective masses, biases, limit & motor activation computed once
+per step) and a per-iteration solve, run for `num_iterations` rounds in the
+reference's fixed type order (constraints.cpp:3748-3772).
+
+Two execution modes:
+
+  - "scan": per-type `lax.scan` Gauss-Seidel — exactly the reference's scalar
+    path semantics (sequential impulses over shared body velocities, same
+    iteration order). Correctness / golden-trajectory mode. Across a vmapped
+    env batch the scans vectorize, so this is also fast when per-env
+    constraint counts are modest (articulated scenes).
+  - "jacobi": within each type, all constraints compute impulses in parallel
+    against the same body velocities; per-body deltas are gathered with
+    segment-sums and scaled by 1/degree (mass-splitting / averaged Jacobi).
+    The TPU analog of the reference's conflict-free 8-wide SIMD batching
+    (scheduleConstraintsSIMD, constraints.cpp:51-184), scaled from 8 lanes to
+    the whole constraint set. Needs ~2-3x the iterations of Gauss-Seidel for
+    the same stiffness but has no sequential inner loop, which is what large
+    single-scene benchmarks need.
+
+Betas and thresholds are the reference's (constraints.cpp:9-17).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from dxk_tpu.core.maths import (cross, dot, get_tangents, length, noz,
+                                quat_conj, quat_mul, quat_rotate, skew,
+                                solve_2x2, solve_3x3, get_axis_rotation,
+                                quat_from_axis_angle)
+from dxk_tpu.ops.integrator import SolverBodies
+from dxk_tpu.scene.scene import MotorControls, Scene
+
+DISTANCE_BETA = 0.1
+BALL_BETA = 0.1
+SLIDER_BETA = 0.1
+HINGE_ROTATION_BETA = 0.3
+HINGE_LIMIT_BETA = 0.1
+TWIST_LIMIT_BETA = 0.1
+SLIDER_LIMIT_BETA = 0.1
+DT_THRESHOLD = 1e-5
+
+
+def _inv_or_zero(x):
+    return jnp.where(x != 0.0, 1.0 / jnp.where(x != 0.0, x, 1.0), 0.0)
+
+
+def _mat_vec(m, v):
+    return jnp.einsum("...ij,...j->...i", m, v)
+
+
+def _point_inv_effective_mass(inv_ia, inv_ib, inv_ma, inv_mb, ra, rb):
+    """skewA * invIA * skewA^T + skewB * invIB * skewB^T + I*(ma+mb)
+    (constraints.cpp:487-492)."""
+    sa = skew(ra)
+    sb = skew(rb)
+    m = (sa @ inv_ia @ jnp.swapaxes(sa, -1, -2)
+         + sb @ inv_ib @ jnp.swapaxes(sb, -1, -2))
+    eye = jnp.eye(3, dtype=ra.dtype)
+    return m + eye * (inv_ma + inv_mb)[..., None, None]
+
+
+# ===========================================================================
+# Contacts (constraints.cpp:3307-3449)
+
+
+@struct.dataclass
+class ContactPrep:
+    body_a: jnp.ndarray
+    body_b: jnp.ndarray
+    rel_a: jnp.ndarray
+    rel_b: jnp.ndarray
+    normal: jnp.ndarray
+    tangent: jnp.ndarray
+    eff_mass_n: jnp.ndarray
+    eff_mass_t: jnp.ndarray
+    bias: jnp.ndarray
+    friction: jnp.ndarray
+    n_to_wa: jnp.ndarray   # normalImpulseToAngularVelocityA
+    n_to_wb: jnp.ndarray
+    t_to_wa: jnp.ndarray
+    t_to_wb: jnp.ndarray
+
+
+def prep_contacts(bodies: SolverBodies, body_a, body_b, point, normal, depth,
+                  friction, restitution, mask, dt) -> ContactPrep:
+    inv_dt = 1.0 / dt
+    pa = bodies.pos_cog[body_a]
+    pb = bodies.pos_cog[body_b]
+    rel_a = point - pa
+    rel_b = point - pb
+
+    va = bodies.v[body_a] + cross(bodies.w[body_a], rel_a)
+    vb = bodies.v[body_b] + cross(bodies.w[body_b], rel_b)
+    rel_v = vb - va
+    tangent = noz(rel_v - dot(normal, rel_v)[..., None] * normal)
+
+    inv_ia = bodies.inv_inertia[body_a]
+    inv_ib = bodies.inv_inertia[body_b]
+    inv_ma = bodies.inv_mass[body_a]
+    inv_mb = bodies.inv_mass[body_b]
+
+    cr_at = cross(rel_a, tangent)
+    cr_bt = cross(rel_b, tangent)
+    im_t = (inv_ma + dot(cr_at, _mat_vec(inv_ia, cr_at))
+            + inv_mb + dot(cr_bt, _mat_vec(inv_ib, cr_bt)))
+    eff_t = _inv_or_zero(im_t) * mask
+
+    cr_an = cross(rel_a, normal)
+    cr_bn = cross(rel_b, normal)
+    im_n = (inv_ma + dot(cr_an, _mat_vec(inv_ia, cr_an))
+            + inv_mb + dot(cr_bn, _mat_vec(inv_ib, cr_bn)))
+    eff_n = _inv_or_zero(im_n) * mask
+
+    # restitution + Baumgarte bias with slop (constraints.cpp:3355-3366)
+    v_rel_n = dot(normal, rel_v)
+    slop = -0.001
+    active = (-depth < slop) & (v_rel_n < 0.0)
+    bias = jnp.where(active, -restitution * v_rel_n
+                     - 0.1 * (-depth - slop) * inv_dt, 0.0)
+    bias = jnp.where(dt > DT_THRESHOLD, bias, 0.0)
+
+    return ContactPrep(
+        body_a=body_a, body_b=body_b, rel_a=rel_a, rel_b=rel_b,
+        normal=normal, tangent=tangent, eff_mass_n=eff_n, eff_mass_t=eff_t,
+        bias=bias, friction=friction * mask,
+        n_to_wa=_mat_vec(inv_ia, cr_an), n_to_wb=_mat_vec(inv_ib, cr_bn),
+        t_to_wa=_mat_vec(inv_ia, cr_at), t_to_wb=_mat_vec(inv_ib, cr_bt))
+
+
+def _contact_solve_one(c, inv_ma, inv_mb, va, wa, vb, wb, imp_n, imp_t):
+    """One contact: friction then normal (constraints.cpp:3404-3442)."""
+    # tangent
+    av = va + cross(wa, c.rel_a)
+    bv = vb + cross(wb, c.rel_b)
+    vt = dot(bv - av, c.tangent)
+    lam = -c.eff_mass_t * vt
+    max_f = c.friction * imp_n
+    new_imp = jnp.clip(imp_t + lam, -max_f, max_f)
+    lam = new_imp - imp_t
+    imp_t = new_imp
+    P = lam[..., None] * c.tangent
+    va = va - inv_ma[..., None] * P
+    wa = wa - c.t_to_wa * lam[..., None]
+    vb = vb + inv_mb[..., None] * P
+    wb = wb + c.t_to_wb * lam[..., None]
+
+    # normal
+    av = va + cross(wa, c.rel_a)
+    bv = vb + cross(wb, c.rel_b)
+    vn = dot(bv - av, c.normal)
+    lam = -c.eff_mass_n * (vn - c.bias)
+    new_imp = jnp.maximum(imp_n + lam, 0.0)
+    lam = new_imp - imp_n
+    imp_n = new_imp
+    P = lam[..., None] * c.normal
+    va = va - inv_ma[..., None] * P
+    wa = wa - c.n_to_wa * lam[..., None]
+    vb = vb + inv_mb[..., None] * P
+    wb = wb + c.n_to_wb * lam[..., None]
+    return va, wa, vb, wb, imp_n, imp_t
+
+
+# ===========================================================================
+# Distance (constraints.cpp:189-264)
+
+
+@struct.dataclass
+class DistancePrep:
+    body_a: jnp.ndarray
+    body_b: jnp.ndarray
+    rel_a: jnp.ndarray
+    rel_b: jnp.ndarray
+    u: jnp.ndarray
+    bias: jnp.ndarray
+    eff_mass: jnp.ndarray
+    to_wa: jnp.ndarray
+    to_wb: jnp.ndarray
+
+
+def prep_distance(bodies: SolverBodies, j, dt) -> DistancePrep:
+    inv_dt = 1.0 / dt
+    a, b = j.body_a, j.body_b
+    rel_a = quat_rotate(bodies.rot[a], j.local_anchor_a - bodies.local_cog[a])
+    rel_b = quat_rotate(bodies.rot[b], j.local_anchor_b - bodies.local_cog[b])
+    ga = bodies.pos_cog[a] + rel_a
+    gb = bodies.pos_cog[b] + rel_b
+    u = gb - ga
+    l = length(u)
+    u = jnp.where((l > 0.001)[..., None], u / jnp.maximum(l, 1e-12)[..., None], 0.0)
+
+    cr_a = cross(rel_a, u)
+    cr_b = cross(rel_b, u)
+    inv_ia = bodies.inv_inertia[a]
+    inv_ib = bodies.inv_inertia[b]
+    im = (bodies.inv_mass[a] + dot(cr_a, _mat_vec(inv_ia, cr_a))
+          + bodies.inv_mass[b] + dot(cr_b, _mat_vec(inv_ib, cr_b)))
+    bias = jnp.where(dt > DT_THRESHOLD, (l - j.length) * (DISTANCE_BETA * inv_dt), 0.0)
+    return DistancePrep(
+        body_a=a, body_b=b, rel_a=rel_a, rel_b=rel_b, u=u, bias=bias,
+        eff_mass=_inv_or_zero(im),
+        to_wa=_mat_vec(inv_ia, cross(rel_a, cr_a)),
+        to_wb=_mat_vec(inv_ib, cross(rel_b, cr_b)))
+
+
+def _distance_solve_one(c, inv_ma, inv_mb, va, wa, vb, wb):
+    av = va + cross(wa, c.rel_a)
+    bv = vb + cross(wb, c.rel_b)
+    cdot = dot(c.u, bv - av) + c.bias
+    lam = -c.eff_mass * cdot
+    P = lam[..., None] * c.u
+    va = va - inv_ma[..., None] * P
+    wa = wa - c.to_wa * lam[..., None]
+    vb = vb + inv_mb[..., None] * P
+    wb = wb + c.to_wb * lam[..., None]
+    return va, wa, vb, wb
+
+
+# ===========================================================================
+# Ball (constraints.cpp:460-528)
+
+
+@struct.dataclass
+class BallPrep:
+    body_a: jnp.ndarray
+    body_b: jnp.ndarray
+    rel_a: jnp.ndarray
+    rel_b: jnp.ndarray
+    bias: jnp.ndarray
+    inv_eff_mass: jnp.ndarray
+
+
+def prep_ball(bodies: SolverBodies, j, dt) -> BallPrep:
+    inv_dt = 1.0 / dt
+    a, b = j.body_a, j.body_b
+    rel_a = quat_rotate(bodies.rot[a], j.local_anchor_a - bodies.local_cog[a])
+    rel_b = quat_rotate(bodies.rot[b], j.local_anchor_b - bodies.local_cog[b])
+    ga = bodies.pos_cog[a] + rel_a
+    gb = bodies.pos_cog[b] + rel_b
+    m = _point_inv_effective_mass(bodies.inv_inertia[a], bodies.inv_inertia[b],
+                                  bodies.inv_mass[a], bodies.inv_mass[b],
+                                  rel_a, rel_b)
+    bias = jnp.where(dt > DT_THRESHOLD, (gb - ga) * (BALL_BETA * inv_dt), 0.0)
+    return BallPrep(body_a=a, body_b=b, rel_a=rel_a, rel_b=rel_b,
+                    bias=bias, inv_eff_mass=m)
+
+
+def _ball_solve_one(c, inv_ma, inv_mb, inv_ia, inv_ib, va, wa, vb, wb):
+    av = va + cross(wa, c.rel_a)
+    bv = vb + cross(wb, c.rel_b)
+    cdot = bv - av + c.bias
+    P = solve_3x3(c.inv_eff_mass, -cdot)
+    va = va - inv_ma[..., None] * P
+    wa = wa - _mat_vec(inv_ia, cross(c.rel_a, P))
+    vb = vb + inv_mb[..., None] * P
+    wb = wb + _mat_vec(inv_ib, cross(c.rel_b, P))
+    return va, wa, vb, wb
+
+
+# ===========================================================================
+# Fixed (constraints.cpp:736-823)
+
+
+@struct.dataclass
+class FixedPrep:
+    body_a: jnp.ndarray
+    body_b: jnp.ndarray
+    rel_a: jnp.ndarray
+    rel_b: jnp.ndarray
+    translation_bias: jnp.ndarray
+    inv_eff_trans_mass: jnp.ndarray
+    rotation_bias: jnp.ndarray
+    inv_eff_rot_mass: jnp.ndarray
+
+
+def prep_fixed(bodies: SolverBodies, j, dt) -> FixedPrep:
+    inv_dt = 1.0 / dt
+    a, b = j.body_a, j.body_b
+    rot_a = bodies.rot[a]
+    rot_b = bodies.rot[b]
+    rel_a = quat_rotate(rot_a, j.local_anchor_a - bodies.local_cog[a])
+    rel_b = quat_rotate(rot_b, j.local_anchor_b - bodies.local_cog[b])
+    ga = bodies.pos_cog[a] + rel_a
+    gb = bodies.pos_cog[b] + rel_b
+    inv_ia = bodies.inv_inertia[a]
+    inv_ib = bodies.inv_inertia[b]
+    mt = _point_inv_effective_mass(inv_ia, inv_ib, bodies.inv_mass[a],
+                                   bodies.inv_mass[b], rel_a, rel_b)
+    mr = inv_ia + inv_ib
+
+    t_bias = jnp.where(dt > DT_THRESHOLD, (gb - ga) * (BALL_BETA * inv_dt), 0.0)
+    rot_err = quat_mul(quat_mul(rot_b, j.initial_inv_rotation_difference),
+                       quat_conj(rot_a))
+    r_bias = jnp.where(dt > DT_THRESHOLD,
+                       rot_err[..., :3] * (SLIDER_BETA * inv_dt * 2.0), 0.0)
+    return FixedPrep(body_a=a, body_b=b, rel_a=rel_a, rel_b=rel_b,
+                     translation_bias=t_bias, inv_eff_trans_mass=mt,
+                     rotation_bias=r_bias, inv_eff_rot_mass=mr)
+
+
+def _fixed_solve_one(c, inv_ma, inv_mb, inv_ia, inv_ib, va, wa, vb, wb):
+    # rotation part
+    cdot = wb - wa
+    lam = solve_3x3(c.inv_eff_rot_mass, -(cdot + c.rotation_bias))
+    wa = wa - _mat_vec(inv_ia, lam)
+    wb = wb + _mat_vec(inv_ib, lam)
+    # position part
+    av = va + cross(wa, c.rel_a)
+    bv = vb + cross(wb, c.rel_b)
+    cdot = bv - av + c.translation_bias
+    P = solve_3x3(c.inv_eff_trans_mass, -cdot)
+    va = va - inv_ma[..., None] * P
+    wa = wa - _mat_vec(inv_ia, cross(c.rel_a, P))
+    vb = vb + inv_mb[..., None] * P
+    wb = wb + _mat_vec(inv_ib, cross(c.rel_b, P))
+    return va, wa, vb, wb
+
+
+# ===========================================================================
+# Hinge (constraints.cpp:1079-1307)
+
+
+@struct.dataclass
+class HingePrep:
+    body_a: jnp.ndarray
+    body_b: jnp.ndarray
+    rel_a: jnp.ndarray
+    rel_b: jnp.ndarray
+    translation_bias: jnp.ndarray
+    inv_eff_trans_mass: jnp.ndarray
+    rotation_bias: jnp.ndarray          # (J, 2)
+    inv_eff_rot_mass: jnp.ndarray       # (J, 2, 2)
+    bxa: jnp.ndarray
+    cxa: jnp.ndarray
+    axis: jnp.ndarray                   # global rotation axis
+    eff_axial_mass: jnp.ndarray
+    solve_limit: jnp.ndarray            # bool
+    solve_motor: jnp.ndarray            # bool
+    limit_sign: jnp.ndarray
+    limit_bias: jnp.ndarray
+    motor_velocity: jnp.ndarray
+    max_motor_impulse: jnp.ndarray
+    ml_to_wa: jnp.ndarray               # motorAndLimitImpulseToAngularVelocity
+    ml_to_wb: jnp.ndarray
+
+
+def prep_hinge(bodies: SolverBodies, j, controls: MotorControls, dt) -> HingePrep:
+    inv_dt = 1.0 / dt
+    a, b = j.body_a, j.body_b
+    rot_a = bodies.rot[a]
+    rot_b = bodies.rot[b]
+    rel_a = quat_rotate(rot_a, j.local_anchor_a - bodies.local_cog[a])
+    rel_b = quat_rotate(rot_b, j.local_anchor_b - bodies.local_cog[b])
+    ga = bodies.pos_cog[a] + rel_a
+    gb = bodies.pos_cog[b] + rel_b
+    inv_ia = bodies.inv_inertia[a]
+    inv_ib = bodies.inv_inertia[b]
+    inv_ma = bodies.inv_mass[a]
+    inv_mb = bodies.inv_mass[b]
+
+    mt = _point_inv_effective_mass(inv_ia, inv_ib, inv_ma, inv_mb, rel_a, rel_b)
+    t_bias = jnp.where(dt > DT_THRESHOLD, (gb - ga) * (BALL_BETA * inv_dt), 0.0)
+
+    axis_a = quat_rotate(rot_a, j.local_axis_a)
+    axis_b = quat_rotate(rot_b, j.local_axis_b)
+    tan_b, bitan_b = get_tangents(axis_b)
+
+    bxa = cross(tan_b, axis_a)
+    cxa = cross(bitan_b, axis_a)
+    ia_bxa = _mat_vec(inv_ia, bxa)
+    ib_bxa = _mat_vec(inv_ib, bxa)
+    ia_cxa = _mat_vec(inv_ia, cxa)
+    ib_cxa = _mat_vec(inv_ib, cxa)
+    m00 = dot(bxa, ia_bxa) + dot(bxa, ib_bxa)
+    m01 = dot(bxa, ia_cxa) + dot(bxa, ib_cxa)
+    m10 = dot(cxa, ia_bxa) + dot(cxa, ib_bxa)
+    m11 = dot(cxa, ia_cxa) + dot(cxa, ib_cxa)
+    mr = jnp.stack([jnp.stack([m00, m01], -1), jnp.stack([m10, m11], -1)], -2)
+
+    r_bias = jnp.where(
+        dt > DT_THRESHOLD,
+        jnp.stack([dot(axis_a, tan_b), dot(axis_a, bitan_b)], -1)
+        * (HINGE_ROTATION_BETA * inv_dt), 0.0)
+
+    # limits & motor (constraints.cpp:1155-1205)
+    compare_a = quat_rotate(quat_conj(rot_a),
+                            quat_rotate(rot_b, j.local_tangent_b))
+    angle = jnp.arctan2(dot(compare_a, j.local_bitangent_a),
+                        dot(compare_a, j.local_tangent_a))
+    min_violated = (j.limit_min <= 0.0) & (angle <= j.limit_min)
+    max_violated = (j.limit_max >= 0.0) & (angle >= j.limit_max)
+    max_torque = controls.hinge_max_torque
+    solve_limit = min_violated | max_violated
+    solve_motor = max_torque > 0.0
+
+    im_ax = (dot(axis_a, _mat_vec(inv_ia, axis_a))
+             + dot(axis_a, _mat_vec(inv_ib, axis_a)))
+    eff_ax = _inv_or_zero(im_ax)
+    limit_sign = jnp.where(min_violated, 1.0, -1.0)
+
+    # position motor: reach target angle in one frame, clamped later
+    # (constraints.cpp:1189-1197)
+    min_l = jnp.where(j.limit_min <= 0.0, j.limit_min, -jnp.pi)
+    max_l = jnp.where(j.limit_max >= 0.0, j.limit_max, jnp.pi)
+    target = jnp.clip(controls.hinge_target, min_l, max_l)
+    pos_motor_vel = jnp.where(dt > DT_THRESHOLD, (target - angle) * inv_dt, 0.0)
+    motor_vel = jnp.where(controls.hinge_motor_type == 1, pos_motor_vel,
+                          controls.hinge_target)
+
+    d = jnp.where(min_violated, angle - j.limit_min, j.limit_max - angle)
+    limit_bias = jnp.where(dt > DT_THRESHOLD, d * HINGE_LIMIT_BETA * inv_dt, 0.0)
+
+    return HingePrep(
+        body_a=a, body_b=b, rel_a=rel_a, rel_b=rel_b,
+        translation_bias=t_bias, inv_eff_trans_mass=mt,
+        rotation_bias=r_bias, inv_eff_rot_mass=mr, bxa=bxa, cxa=cxa,
+        axis=axis_a, eff_axial_mass=eff_ax,
+        solve_limit=solve_limit, solve_motor=solve_motor,
+        limit_sign=limit_sign, limit_bias=limit_bias,
+        motor_velocity=motor_vel,
+        max_motor_impulse=jnp.maximum(max_torque, 0.0) * dt,
+        ml_to_wa=_mat_vec(inv_ia, axis_a), ml_to_wb=_mat_vec(inv_ib, axis_a))
+
+
+def _hinge_solve_one(c, inv_ma, inv_mb, inv_ia, inv_ib, va, wa, vb, wb,
+                     limit_imp, motor_imp):
+    """Motor -> limit -> rotation -> position (constraints.cpp:1215-1306)."""
+    axis = c.axis
+    # motor
+    rel_w = dot(axis, wb) - dot(axis, wa)
+    motor_cdot = rel_w - c.motor_velocity
+    lam = -c.eff_axial_mass * motor_cdot
+    new_imp = jnp.clip(motor_imp + lam, -c.max_motor_impulse, c.max_motor_impulse)
+    lam = jnp.where(c.solve_motor, new_imp - motor_imp, 0.0)
+    motor_imp = jnp.where(c.solve_motor, new_imp, motor_imp)
+    wa = wa - c.ml_to_wa * lam[..., None]
+    wb = wb + c.ml_to_wb * lam[..., None]
+
+    # limit
+    rel_w = c.limit_sign * (dot(axis, wb) - dot(axis, wa))
+    limit_cdot = rel_w + c.limit_bias
+    lam = -c.eff_axial_mass * limit_cdot
+    imp = jnp.maximum(limit_imp + lam, 0.0)
+    lam = jnp.where(c.solve_limit, imp - limit_imp, 0.0)
+    limit_imp = jnp.where(c.solve_limit, imp, limit_imp)
+    lam = lam * c.limit_sign
+    wa = wa - c.ml_to_wa * lam[..., None]
+    wb = wb + c.ml_to_wb * lam[..., None]
+
+    # rotation (2D)
+    dw = wb - wa
+    cdot2 = jnp.stack([dot(c.bxa, dw), dot(c.cxa, dw)], -1)
+    lam2 = solve_2x2(c.inv_eff_rot_mass, -(cdot2 + c.rotation_bias))
+    rot_p = c.bxa * lam2[..., 0:1] + c.cxa * lam2[..., 1:2]
+    wa = wa - _mat_vec(inv_ia, rot_p)
+    wb = wb + _mat_vec(inv_ib, rot_p)
+
+    # position (3D)
+    av = va + cross(wa, c.rel_a)
+    bv = vb + cross(wb, c.rel_b)
+    cdot = bv - av + c.translation_bias
+    P = solve_3x3(c.inv_eff_trans_mass, -cdot)
+    va = va - inv_ma[..., None] * P
+    wa = wa - _mat_vec(inv_ia, cross(c.rel_a, P))
+    vb = vb + inv_mb[..., None] * P
+    wb = wb + _mat_vec(inv_ib, cross(c.rel_b, P))
+    return va, wa, vb, wb, limit_imp, motor_imp
+
+
+# ===========================================================================
+# Cone-twist (constraints.cpp:1782-2069)
+
+
+@struct.dataclass
+class ConeTwistPrep:
+    body_a: jnp.ndarray
+    body_b: jnp.ndarray
+    rel_a: jnp.ndarray
+    rel_b: jnp.ndarray
+    bias: jnp.ndarray
+    inv_eff_mass: jnp.ndarray
+    # swing limit
+    solve_swing_limit: jnp.ndarray
+    swing_axis: jnp.ndarray
+    eff_swing_limit_mass: jnp.ndarray
+    swing_limit_bias: jnp.ndarray
+    sl_to_wa: jnp.ndarray
+    sl_to_wb: jnp.ndarray
+    # twist limit
+    solve_twist_limit: jnp.ndarray
+    twist_axis: jnp.ndarray
+    eff_twist_mass: jnp.ndarray
+    twist_limit_sign: jnp.ndarray
+    twist_limit_bias: jnp.ndarray
+    tw_to_wa: jnp.ndarray
+    tw_to_wb: jnp.ndarray
+    # swing motor
+    solve_swing_motor: jnp.ndarray
+    swing_motor_axis: jnp.ndarray
+    eff_swing_motor_mass: jnp.ndarray
+    swing_motor_velocity: jnp.ndarray
+    max_swing_motor_impulse: jnp.ndarray
+    sm_to_wa: jnp.ndarray
+    sm_to_wb: jnp.ndarray
+    # twist motor
+    solve_twist_motor: jnp.ndarray
+    twist_motor_velocity: jnp.ndarray
+    max_twist_motor_impulse: jnp.ndarray
+
+
+def prep_cone_twist(bodies: SolverBodies, j, controls: MotorControls, dt) -> ConeTwistPrep:
+    inv_dt = 1.0 / dt
+    a, b = j.body_a, j.body_b
+    rot_a = bodies.rot[a]
+    rot_b = bodies.rot[b]
+    rel_a = quat_rotate(rot_a, j.local_anchor_a - bodies.local_cog[a])
+    rel_b = quat_rotate(rot_b, j.local_anchor_b - bodies.local_cog[b])
+    ga = bodies.pos_cog[a] + rel_a
+    gb = bodies.pos_cog[b] + rel_b
+    inv_ia = bodies.inv_inertia[a]
+    inv_ib = bodies.inv_inertia[b]
+
+    m = _point_inv_effective_mass(inv_ia, inv_ib, bodies.inv_mass[a],
+                                  bodies.inv_mass[b], rel_a, rel_b)
+    bias = jnp.where(dt > DT_THRESHOLD, (gb - ga) * (BALL_BETA * inv_dt), 0.0)
+
+    # relative rotation decomposition (constraints.cpp:1823-1846)
+    from dxk_tpu.core.maths import rotate_from_to
+    btoa = quat_mul(quat_conj(rot_a), rot_b)
+    axis_compare = quat_rotate(btoa, j.local_axis_b)
+    swing_rotation = rotate_from_to(j.local_axis_a, axis_compare)
+
+    twist_tan_a = quat_rotate(swing_rotation, j.local_tangent_a)
+    twist_bitan_a = quat_rotate(swing_rotation, j.local_bitangent_a)
+    tan_compare = quat_rotate(btoa, j.local_tangent_b)
+    twist_angle = jnp.arctan2(dot(tan_compare, twist_bitan_a),
+                              dot(tan_compare, twist_tan_a))
+
+    swing_axis_l, swing_angle = get_axis_rotation(swing_rotation)
+    neg = swing_angle < 0.0
+    swing_angle = jnp.where(neg, -swing_angle, swing_angle)
+    swing_axis_l = jnp.where(neg[..., None], -swing_axis_l, swing_axis_l)
+
+    swing_limit = j.limit_min   # (swingLimit stored in limit_min)
+    twist_limit = j.limit_max   # (twistLimit stored in limit_max)
+
+    # swing limit (1848-1865)
+    solve_swing = (swing_limit >= 0.0) & (swing_angle >= swing_limit)
+    swing_axis = quat_rotate(rot_a, swing_axis_l)
+    im_sl = (dot(swing_axis, _mat_vec(inv_ia, swing_axis))
+             + dot(swing_axis, _mat_vec(inv_ib, swing_axis)))
+    eff_sl = _inv_or_zero(im_sl)
+    swing_limit_bias = jnp.where(dt > DT_THRESHOLD,
+                                 (swing_limit - swing_angle) * (HINGE_LIMIT_BETA * inv_dt), 0.0)
+
+    # swing motor (1867-1905)
+    solve_swing_motor = controls.ct_swing_max_torque > 0.0
+    ax_x = jnp.cos(controls.ct_swing_axis_angle)
+    ax_y = jnp.sin(controls.ct_swing_axis_angle)
+    local_sm_axis = (ax_x[..., None] * j.local_tangent_a
+                     + ax_y[..., None] * j.local_bitangent_a)
+    # velocity motor path
+    sm_axis_vel = quat_rotate(rot_a, local_sm_axis)
+    sm_vel_v = controls.ct_swing_target
+    # position motor path
+    target_angle = jnp.where(swing_limit >= 0.0,
+                             jnp.clip(controls.ct_swing_target, -swing_limit, swing_limit),
+                             controls.ct_swing_target)
+    local_target_dir = quat_rotate(quat_from_axis_angle(local_sm_axis, target_angle),
+                                   j.local_axis_a)
+    local_sm_axis_pos = noz(cross(axis_compare, local_target_dir))
+    sm_axis_pos = quat_rotate(rot_a, local_sm_axis_pos)
+    cos_angle = dot(local_target_dir, axis_compare)
+    delta_angle = jnp.arccos(jnp.clip(cos_angle, 0.0, 1.0))
+    sm_vel_p = jnp.where(dt > DT_THRESHOLD, delta_angle * inv_dt * 0.2, 0.0)
+
+    is_pos = controls.ct_swing_motor_type == 1
+    sm_axis = jnp.where(is_pos[..., None], sm_axis_pos, sm_axis_vel)
+    sm_vel = jnp.where(is_pos, sm_vel_p, sm_vel_v)
+    im_sm = (dot(sm_axis, _mat_vec(inv_ia, sm_axis))
+             + dot(sm_axis, _mat_vec(inv_ib, sm_axis)))
+    eff_sm = _inv_or_zero(im_sm)
+
+    # twist limit & motor (1907-1946)
+    min_tw = (twist_limit >= 0.0) & (twist_angle <= -twist_limit)
+    max_tw = (twist_limit >= 0.0) & (twist_angle >= twist_limit)
+    solve_twist_limit = min_tw | max_tw
+    solve_twist_motor = controls.ct_twist_max_torque > 0.0
+    twist_axis = quat_rotate(rot_a, j.local_axis_a)
+    im_tw = (dot(twist_axis, _mat_vec(inv_ia, twist_axis))
+             + dot(twist_axis, _mat_vec(inv_ib, twist_axis)))
+    eff_tw = _inv_or_zero(im_tw)
+    twist_limit_sign = jnp.where(min_tw, 1.0, -1.0)
+
+    limit = jnp.where(twist_limit >= 0.0, twist_limit, jnp.pi)
+    tw_target = jnp.clip(controls.ct_twist_target, -limit, limit)
+    tw_vel_p = jnp.where(dt > DT_THRESHOLD, (tw_target - twist_angle) * inv_dt, 0.0)
+    tw_vel = jnp.where(controls.ct_twist_motor_type == 1, tw_vel_p,
+                       controls.ct_twist_target)
+
+    d = jnp.where(min_tw, twist_limit + twist_angle, twist_limit - twist_angle)
+    twist_limit_bias = jnp.where(dt > DT_THRESHOLD, d * TWIST_LIMIT_BETA * inv_dt, 0.0)
+
+    return ConeTwistPrep(
+        body_a=a, body_b=b, rel_a=rel_a, rel_b=rel_b, bias=bias, inv_eff_mass=m,
+        solve_swing_limit=solve_swing, swing_axis=swing_axis,
+        eff_swing_limit_mass=eff_sl, swing_limit_bias=swing_limit_bias,
+        sl_to_wa=_mat_vec(inv_ia, swing_axis), sl_to_wb=_mat_vec(inv_ib, swing_axis),
+        solve_twist_limit=solve_twist_limit, twist_axis=twist_axis,
+        eff_twist_mass=eff_tw, twist_limit_sign=twist_limit_sign,
+        twist_limit_bias=twist_limit_bias,
+        tw_to_wa=_mat_vec(inv_ia, twist_axis), tw_to_wb=_mat_vec(inv_ib, twist_axis),
+        solve_swing_motor=solve_swing_motor, swing_motor_axis=sm_axis,
+        eff_swing_motor_mass=eff_sm, swing_motor_velocity=sm_vel,
+        max_swing_motor_impulse=jnp.maximum(controls.ct_swing_max_torque, 0.0) * dt,
+        sm_to_wa=_mat_vec(inv_ia, sm_axis), sm_to_wb=_mat_vec(inv_ib, sm_axis),
+        solve_twist_motor=solve_twist_motor, twist_motor_velocity=tw_vel,
+        max_twist_motor_impulse=jnp.maximum(controls.ct_twist_max_torque, 0.0) * dt)
+
+
+def _cone_twist_solve_one(c, inv_ma, inv_mb, inv_ia, inv_ib, va, wa, vb, wb,
+                          swing_imp, twist_imp, sm_imp, tm_imp):
+    """Twist motor -> swing motor -> twist limit -> swing limit -> position
+    (constraints.cpp:1955-2068)."""
+    # twist motor
+    rel_w = dot(c.twist_axis, wb) - dot(c.twist_axis, wa)
+    cdot = rel_w - c.twist_motor_velocity
+    lam = -c.eff_twist_mass * cdot
+    new_imp = jnp.clip(tm_imp + lam, -c.max_twist_motor_impulse,
+                       c.max_twist_motor_impulse)
+    lam = jnp.where(c.solve_twist_motor, new_imp - tm_imp, 0.0)
+    tm_imp = jnp.where(c.solve_twist_motor, new_imp, tm_imp)
+    wa = wa - c.tw_to_wa * lam[..., None]
+    wb = wb + c.tw_to_wb * lam[..., None]
+
+    # swing motor
+    rel_w = dot(c.swing_motor_axis, wb) - dot(c.swing_motor_axis, wa)
+    cdot = rel_w - c.swing_motor_velocity
+    lam = -c.eff_swing_motor_mass * cdot
+    new_imp = jnp.clip(sm_imp + lam, -c.max_swing_motor_impulse,
+                       c.max_swing_motor_impulse)
+    lam = jnp.where(c.solve_swing_motor, new_imp - sm_imp, 0.0)
+    sm_imp = jnp.where(c.solve_swing_motor, new_imp, sm_imp)
+    wa = wa - c.sm_to_wa * lam[..., None]
+    wb = wb + c.sm_to_wb * lam[..., None]
+
+    # twist limit
+    rel_w = c.twist_limit_sign * (dot(c.twist_axis, wb) - dot(c.twist_axis, wa))
+    cdot = rel_w + c.twist_limit_bias
+    lam = -c.eff_twist_mass * cdot
+    imp = jnp.maximum(twist_imp + lam, 0.0)
+    lam = jnp.where(c.solve_twist_limit, imp - twist_imp, 0.0)
+    twist_imp = jnp.where(c.solve_twist_limit, imp, twist_imp)
+    lam = lam * c.twist_limit_sign
+    wa = wa - c.tw_to_wa * lam[..., None]
+    wb = wb + c.tw_to_wb * lam[..., None]
+
+    # swing limit (note reversed signs: Cdot = aDotWA - aDotWB + bias,
+    # wa += ..., wb -= ...; constraints.cpp:2035-2048)
+    cdot = dot(c.swing_axis, wa) - dot(c.swing_axis, wb) + c.swing_limit_bias
+    lam = -c.eff_swing_limit_mass * cdot
+    imp = jnp.maximum(swing_imp + lam, 0.0)
+    lam = jnp.where(c.solve_swing_limit, imp - swing_imp, 0.0)
+    swing_imp = jnp.where(c.solve_swing_limit, imp, swing_imp)
+    wa = wa + c.sl_to_wa * lam[..., None]
+    wb = wb - c.sl_to_wb * lam[..., None]
+
+    # position
+    av = va + cross(wa, c.rel_a)
+    bv = vb + cross(wb, c.rel_b)
+    cdot = bv - av + c.bias
+    P = solve_3x3(c.inv_eff_mass, -cdot)
+    va = va - inv_ma[..., None] * P
+    wa = wa - _mat_vec(inv_ia, cross(c.rel_a, P))
+    vb = vb + inv_mb[..., None] * P
+    wb = wb + _mat_vec(inv_ib, cross(c.rel_b, P))
+    return va, wa, vb, wb, swing_imp, twist_imp, sm_imp, tm_imp
+
+
+# ===========================================================================
+# Slider (constraints.cpp:2638-2845)
+
+
+@struct.dataclass
+class SliderPrep:
+    body_a: jnp.ndarray
+    body_b: jnp.ndarray
+    r_au_x_t: jnp.ndarray
+    r_au_x_b: jnp.ndarray
+    r_b_x_t: jnp.ndarray
+    r_b_x_b: jnp.ndarray
+    tangent: jnp.ndarray
+    bitangent: jnp.ndarray
+    inv_eff_trans_mass: jnp.ndarray   # (J, 2, 2)
+    translation_bias: jnp.ndarray     # (J, 2)
+    inv_eff_rot_mass: jnp.ndarray     # (J, 3, 3)
+    rotation_bias: jnp.ndarray        # (J, 3)
+    axis: jnp.ndarray
+    solve_limit: jnp.ndarray
+    eff_axial_mass: jnp.ndarray
+    limit_bias: jnp.ndarray
+    limit_sign: jnp.ndarray
+    r_au_x_s: jnp.ndarray
+    r_b_x_s: jnp.ndarray
+    l_to_wa: jnp.ndarray
+    l_to_wb: jnp.ndarray
+    solve_motor: jnp.ndarray
+    motor_velocity: jnp.ndarray
+    max_motor_impulse: jnp.ndarray
+
+
+def prep_slider(bodies: SolverBodies, j, controls: MotorControls, dt) -> SliderPrep:
+    inv_dt = 1.0 / dt
+    a, b = j.body_a, j.body_b
+    rot_a = bodies.rot[a]
+    rot_b = bodies.rot[b]
+    rel_a = quat_rotate(rot_a, j.local_anchor_a - bodies.local_cog[a])
+    rel_b = quat_rotate(rot_b, j.local_anchor_b - bodies.local_cog[b])
+    ga = bodies.pos_cog[a] + rel_a
+    gb = bodies.pos_cog[b] + rel_b
+    inv_ia = bodies.inv_inertia[a]
+    inv_ib = bodies.inv_inertia[b]
+    inv_ma = bodies.inv_mass[a]
+    inv_mb = bodies.inv_mass[b]
+
+    axis = quat_rotate(rot_a, j.local_axis_a)
+    tangent, bitangent = get_tangents(axis)
+    u = gb - ga
+    r_au = rel_a + u
+    rbxt = cross(rel_b, tangent)
+    rbxb = cross(rel_b, bitangent)
+    rauxt = cross(r_au, tangent)
+    rauxb = cross(r_au, bitangent)
+
+    ia_rauxt = _mat_vec(inv_ia, rauxt)
+    ia_rauxb = _mat_vec(inv_ia, rauxb)
+    ib_rbxt = _mat_vec(inv_ib, rbxt)
+    ib_rbxb = _mat_vec(inv_ib, rbxb)
+    inv_mass_sum = inv_ma + inv_mb
+
+    m00 = dot(rauxt, ia_rauxt) + dot(rbxt, ib_rbxt) + inv_mass_sum
+    m01 = dot(rauxt, ia_rauxb) + dot(rbxt, ib_rbxb)
+    m10 = dot(rauxb, ia_rauxt) + dot(rbxb, ib_rbxt)
+    m11 = dot(rauxb, ia_rauxb) + dot(rbxb, ib_rbxb) + inv_mass_sum
+    mt = jnp.stack([jnp.stack([m00, m01], -1), jnp.stack([m10, m11], -1)], -2)
+
+    mr = inv_ia + inv_ib
+    tb = jnp.where(dt > DT_THRESHOLD,
+                   jnp.stack([dot(u, tangent), dot(u, bitangent)], -1)
+                   * (SLIDER_BETA * inv_dt), 0.0)
+    rot_err = quat_mul(quat_mul(rot_b, j.initial_inv_rotation_difference),
+                       quat_conj(rot_a))
+    rb_bias = jnp.where(dt > DT_THRESHOLD,
+                        rot_err[..., :3] * (SLIDER_BETA * inv_dt * 2.0), 0.0)
+
+    # limit (2702-2733)
+    dist = dot(u, axis)
+    min_v = (j.limit_min <= 0.0) & (dist < j.limit_min)
+    max_v = (j.limit_max >= 0.0) & (dist > j.limit_max)
+    solve_limit = min_v | max_v
+    rauxs = cross(r_au, axis)
+    rbxs = cross(rel_b, axis)
+    im_ax = (inv_mass_sum + dot(rauxs, _mat_vec(inv_ia, rauxs))
+             + dot(rbxs, _mat_vec(inv_ib, rbxs)))
+    eff_ax = _inv_or_zero(im_ax)
+    limit_sign = jnp.where(min_v, 1.0, -1.0)
+    err = jnp.where(min_v, dist - j.limit_min, j.limit_max - dist)
+    limit_bias = jnp.where(dt > DT_THRESHOLD, err * (SLIDER_LIMIT_BETA * inv_dt), 0.0)
+
+    # motor (2735-2752)
+    solve_motor = controls.slider_max_force > 0.0
+    min_l = jnp.where(j.limit_min <= 0.0, j.limit_min, -jnp.inf)
+    max_l = jnp.where(j.limit_max >= 0.0, j.limit_max, jnp.inf)
+    target = jnp.clip(controls.slider_target, min_l, max_l)
+    vel_p = jnp.where(dt > DT_THRESHOLD, (target - dist) * inv_dt, 0.0)
+    motor_vel = jnp.where(controls.slider_motor_type == 1, vel_p,
+                          controls.slider_target)
+
+    return SliderPrep(
+        body_a=a, body_b=b, r_au_x_t=rauxt, r_au_x_b=rauxb,
+        r_b_x_t=rbxt, r_b_x_b=rbxb, tangent=tangent, bitangent=bitangent,
+        inv_eff_trans_mass=mt, translation_bias=tb,
+        inv_eff_rot_mass=mr, rotation_bias=rb_bias, axis=axis,
+        solve_limit=solve_limit, eff_axial_mass=eff_ax,
+        limit_bias=limit_bias, limit_sign=limit_sign,
+        r_au_x_s=rauxs, r_b_x_s=rbxs,
+        l_to_wa=_mat_vec(inv_ia, rauxs), l_to_wb=_mat_vec(inv_ib, rbxs),
+        solve_motor=solve_motor, motor_velocity=motor_vel,
+        max_motor_impulse=jnp.maximum(controls.slider_max_force, 0.0) * dt)
+
+
+def _slider_solve_one(c, inv_ma, inv_mb, inv_ia, inv_ib, va, wa, vb, wb,
+                      limit_imp, motor_imp):
+    """Motor -> limit -> rotation -> position (constraints.cpp:2761-2845)."""
+    # motor (pure linear along axis)
+    cdot = dot(vb, c.axis) - dot(va, c.axis) - c.motor_velocity
+    mass = _inv_or_zero(inv_ma + inv_mb)
+    lam = -mass * cdot
+    new_imp = jnp.clip(motor_imp + lam, -c.max_motor_impulse, c.max_motor_impulse)
+    lam = jnp.where(c.solve_motor, new_imp - motor_imp, 0.0)
+    motor_imp = jnp.where(c.solve_motor, new_imp, motor_imp)
+    P = lam[..., None] * c.axis
+    va = va - inv_ma[..., None] * P
+    vb = vb + inv_mb[..., None] * P
+
+    # limit
+    cdot = (dot(vb, c.axis) + dot(wb, c.r_b_x_s)
+            - dot(va, c.axis) - dot(wa, c.r_au_x_s))
+    lam = -c.eff_axial_mass * (c.limit_sign * cdot + c.limit_bias)
+    imp = jnp.maximum(limit_imp + lam, 0.0)
+    lam = jnp.where(c.solve_limit, imp - limit_imp, 0.0)
+    limit_imp = jnp.where(c.solve_limit, imp, limit_imp)
+    lam = lam * c.limit_sign
+    P = lam[..., None] * c.axis
+    va = va - inv_ma[..., None] * P
+    wa = wa - c.l_to_wa * lam[..., None]
+    vb = vb + inv_mb[..., None] * P
+    wb = wb + c.l_to_wb * lam[..., None]
+
+    # rotation (3D)
+    cdot = wb - wa
+    lam3 = solve_3x3(c.inv_eff_rot_mass, -(cdot + c.rotation_bias))
+    wa = wa - _mat_vec(inv_ia, lam3)
+    wb = wb + _mat_vec(inv_ib, lam3)
+
+    # position (2D in the plane normal to the slider axis)
+    cx = (dot(c.tangent, vb) + dot(c.r_b_x_t, wb)
+          - dot(c.tangent, va) - dot(c.r_au_x_t, wa))
+    cy = (dot(c.bitangent, vb) + dot(c.r_b_x_b, wb)
+          - dot(c.bitangent, va) - dot(c.r_au_x_b, wa))
+    cdot2 = jnp.stack([cx, cy], -1)
+    lam2 = solve_2x2(c.inv_eff_trans_mass, -(cdot2 + c.translation_bias))
+    tbv = c.tangent * lam2[..., 0:1] + c.bitangent * lam2[..., 1:2]
+    va = va - inv_ma[..., None] * tbv
+    wa = wa - _mat_vec(inv_ia, c.r_au_x_t * lam2[..., 0:1] + c.r_au_x_b * lam2[..., 1:2])
+    vb = vb + inv_mb[..., None] * tbv
+    wb = wb + _mat_vec(inv_ib, c.r_b_x_t * lam2[..., 0:1] + c.r_b_x_b * lam2[..., 1:2])
+    return va, wa, vb, wb, limit_imp, motor_imp
+
+
+# ===========================================================================
+# Orchestration
+
+
+@struct.dataclass
+class Prepped:
+    contacts: Optional[ContactPrep] = None
+    distance: Optional[DistancePrep] = None
+    ball: Optional[BallPrep] = None
+    fixed: Optional[FixedPrep] = None
+    hinge: Optional[HingePrep] = None
+    cone_twist: Optional[ConeTwistPrep] = None
+    slider: Optional[SliderPrep] = None
+
+
+def _tree_slice(tree, i):
+    return jax.tree_util.tree_map(lambda x: x[i], tree)
+
+
+def _gs_pass(prep, solve_fn, n_acc, v, w, inv_mass, inv_inertia, accs):
+    """Gauss-Seidel over one constraint type via lax.scan (reference scalar
+    path semantics)."""
+    count = prep.body_a.shape[0]
+    if count == 0:
+        return v, w, accs
+
+    def body(carry, i):
+        v, w, accs = carry
+        c = _tree_slice(prep, i)
+        a, b = c.body_a, c.body_b
+        args = [c, inv_mass[a], inv_mass[b]]
+        if solve_fn is not _contact_solve_one and solve_fn is not _distance_solve_one:
+            args += [inv_inertia[a], inv_inertia[b]]
+        args += [v[a], w[a], v[b], w[b]]
+        args += [acc[i] for acc in accs]
+        out = solve_fn(*args)
+        va, wa, vb, wb = out[:4]
+        new_accs = tuple(acc.at[i].set(val) for acc, val in zip(accs, out[4:]))
+        v = v.at[a].set(va).at[b].set(vb)
+        w = w.at[a].set(wa).at[b].set(wb)
+        return (v, w, new_accs), None
+
+    (v, w, accs), _ = jax.lax.scan(body, (v, w, accs), jnp.arange(count))
+    return v, w, accs
+
+
+def _jacobi_pass(prep, solve_fn, v, w, inv_mass, inv_inertia, accs):
+    """Averaged-Jacobi over one constraint type: all constraints solve in
+    parallel against the same body velocities; per-body deltas are averaged
+    by constraint degree (mass-splitting). The whole-array analog of the
+    reference's conflict-free SIMD batches."""
+    count = prep.body_a.shape[0]
+    if count == 0:
+        return v, w, accs
+
+    a, b = prep.body_a, prep.body_b
+    args = [prep, inv_mass[a], inv_mass[b]]
+    if solve_fn is not _contact_solve_one and solve_fn is not _distance_solve_one:
+        args += [inv_inertia[a], inv_inertia[b]]
+    va, wa, vb, wb = v[a], w[a], v[b], w[b]
+    args += [va, wa, vb, wb]
+    args += list(accs)
+    out = solve_fn(*args)
+    nva, nwa, nvb, nwb = out[:4]
+    new_accs = tuple(out[4:])
+
+    n = v.shape[0]
+    ones = jnp.ones_like(a, jnp.float32)
+    deg = (jnp.zeros((n,), jnp.float32).at[a].add(ones).at[b].add(ones))
+    inv_deg = 1.0 / jnp.maximum(deg, 1.0)
+
+    dv = jnp.zeros_like(v).at[a].add(nva - va).at[b].add(nvb - vb)
+    dw = jnp.zeros_like(w).at[a].add(nwa - wa).at[b].add(nwb - wb)
+    v = v + dv * inv_deg[:, None]
+    w = w + dw * inv_deg[:, None]
+    return v, w, new_accs
+
+
+def solve_constraints(bodies: SolverBodies, prepped: Prepped,
+                      num_iterations: int, mode: str = "scan") -> SolverBodies:
+    """Run `num_iterations` rounds over all constraint types in the
+    reference's order: distance, ball, fixed, hinge, cone-twist, slider,
+    collision (constraints.cpp:3748-3772)."""
+    v, w = bodies.v, bodies.w
+    inv_m, inv_i = bodies.inv_mass, bodies.inv_inertia
+    p = prepped
+
+    def zeros_for(prep, n_acc):
+        if prep is None:
+            return ()
+        z = jnp.zeros(prep.body_a.shape, v.dtype)
+        return tuple(z for _ in range(n_acc))
+
+    accs = {
+        "hinge": zeros_for(p.hinge, 2),
+        "cone_twist": zeros_for(p.cone_twist, 4),
+        "slider": zeros_for(p.slider, 2),
+        "contacts": zeros_for(p.contacts, 2),
+    }
+
+    passes = [
+        ("distance", p.distance, _distance_solve_one, 0),
+        ("ball", p.ball, _ball_solve_one, 0),
+        ("fixed", p.fixed, _fixed_solve_one, 0),
+        ("hinge", p.hinge, _hinge_solve_one, 2),
+        ("cone_twist", p.cone_twist, _cone_twist_solve_one, 4),
+        ("slider", p.slider, _slider_solve_one, 2),
+        ("contacts", p.contacts, _contact_solve_one, 2),
+    ]
+    run_pass = _gs_pass if mode == "scan" else _jacobi_pass
+
+    def one_iteration(carry, _):
+        v, w, acc_tuple = carry
+        acc_map = dict(zip([n for n, *_ in passes if n in accs], acc_tuple))
+        acc_map = {"hinge": acc_tuple[0], "cone_twist": acc_tuple[1],
+                   "slider": acc_tuple[2], "contacts": acc_tuple[3]}
+        for name, prep, fn, n_acc in passes:
+            if prep is None:
+                continue
+            cur = acc_map.get(name, ())
+            if mode == "scan":
+                v, w, new = _gs_pass(prep, fn, n_acc, v, w, inv_m, inv_i, cur)
+            else:
+                v, w, new = _jacobi_pass(prep, fn, v, w, inv_m, inv_i, cur)
+            if name in acc_map:
+                acc_map[name] = new
+        return (v, w, (acc_map["hinge"], acc_map["cone_twist"],
+                       acc_map["slider"], acc_map["contacts"])), None
+
+    init = (v, w, (accs["hinge"], accs["cone_twist"], accs["slider"],
+                   accs["contacts"]))
+    (v, w, _), _ = jax.lax.scan(one_iteration, init, None, length=num_iterations)
+    return bodies.replace(v=v, w=w)

@@ -1,0 +1,235 @@
+"""Top-level physics step — the TPU rebuild of physicsStep /
+physicsStepInternal (/root/reference/src/physics/physics.cpp:1180-1413).
+
+Pipeline per substep (same order as the reference):
+  1. world-space collider flattening + AABBs      (physics.cpp:631-756)
+  2. broadphase: masked AABB overlap over static pair buckets
+  3. narrowphase: per-bucket contact manifolds    (collision_narrow.cpp)
+  4. trigger / force-field overlap interactions   (physics.cpp:952-1035)
+  5. integrate forces (gravity, damping)          (rigid_body.cpp:95-124)
+  6. constraint solve: N iterations over 7 types  (constraints.cpp)
+  7. integrate velocities                         (rigid_body.cpp:126-142)
+  8. cloth simulation                             (cloth.cpp:180-318)
+
+Everything is one jittable pure function `physics_step(scene, state, settings,
+dt) -> (state, StepInfo)`; batch over environments with `jax.vmap` (replacing
+the reference's 16 OS processes, learning/util.py:30-37).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from dxk_tpu.ops import narrowphase as np_ops
+from dxk_tpu.ops.broadphase import aabb_overlap_mask, compact_pairs
+from dxk_tpu.ops.integrator import integrate_forces, integrate_velocities
+from dxk_tpu.ops.shapes import collider_aabbs, world_colliders
+from dxk_tpu.ops.solver import (Prepped, prep_ball, prep_cone_twist,
+                                prep_contacts, prep_distance, prep_fixed,
+                                prep_hinge, prep_slider, solve_constraints)
+from dxk_tpu.scene.scene import (SHAPE_BOX, SHAPE_CAPSULE, SHAPE_CYLINDER,
+                                 SHAPE_HULL, SHAPE_SPHERE, Scene, State,
+                                 StepInfo)
+
+
+@struct.dataclass
+class PhysicsSettings:
+    """Mirror of physics_settings (physics.h:382-400). `solver_mode` replaces
+    the reference's scalar/SIMD toggles: "scan" = reference-exact sequential
+    impulses, "jacobi" = parallel averaged-Jacobi."""
+
+    num_rigid_solver_iterations: int = struct.field(pytree_node=False, default=30)
+    num_cloth_velocity_iterations: int = struct.field(pytree_node=False, default=0)
+    num_cloth_position_iterations: int = struct.field(pytree_node=False, default=1)
+    num_cloth_drift_iterations: int = struct.field(pytree_node=False, default=0)
+    solver_mode: str = struct.field(pytree_node=False, default="scan")
+
+
+def _pair_params(w, idx):
+    """Gather world shape params for one side of a pair list."""
+    return (w.a[idx], w.b[idx], w.r[idx], w.rot[idx], w.hull_id[idx])
+
+
+def _contacts_for_group(scene, w, group, pairs, mask):
+    """Dispatch the right vmapped contact function for a (typeA,typeB)
+    bucket. Returns (points (P,4,3), depths (P,4), normal (P,3),
+    count (P,), hit (P,))."""
+    ta, tb = group.type_a, group.type_b
+    ia, ib = pairs[:, 0], pairs[:, 1]
+    a_a, a_b, a_r, a_q, _ = _pair_params(w, ia)
+    b_a, b_b, b_r, b_q, _ = _pair_params(w, ib)
+
+    v = jax.vmap
+    if (ta, tb) == (SHAPE_SPHERE, SHAPE_SPHERE):
+        out = v(np_ops.sphere_sphere_contact)(a_a, a_r, b_a, b_r)
+    elif (ta, tb) == (SHAPE_SPHERE, SHAPE_CAPSULE):
+        out = v(np_ops.sphere_capsule_contact)(a_a, a_r, b_a, b_b, b_r)
+    elif (ta, tb) == (SHAPE_SPHERE, SHAPE_CYLINDER):
+        out = v(np_ops.sphere_cylinder_contact)(a_a, a_r, b_a, b_b, b_r)
+    elif (ta, tb) == (SHAPE_SPHERE, SHAPE_BOX):
+        out = v(np_ops.sphere_box_contact)(a_a, a_r, b_a, b_b, b_q)
+    elif (ta, tb) == (SHAPE_CAPSULE, SHAPE_CAPSULE):
+        out = v(np_ops.capsule_capsule_contact)(a_a, a_b, a_r, b_a, b_b, b_r)
+    elif (ta, tb) == (SHAPE_CAPSULE, SHAPE_CYLINDER):
+        out = v(np_ops.capsule_cylinder_contact)(a_a, a_b, a_r, b_a, b_b, b_r)
+    elif (ta, tb) == (SHAPE_CAPSULE, SHAPE_BOX):
+        out = v(np_ops.capsule_box_contact)(a_a, a_b, a_r, b_a, b_b, b_q)
+    elif (ta, tb) == (SHAPE_BOX, SHAPE_BOX):
+        out = v(np_ops.box_box_contact)(a_a, a_b, a_q, b_a, b_b, b_q)
+    else:
+        raise NotImplementedError(
+            f"contact pair ({np_ops and ta}, {tb}) not implemented yet")
+    pts, dps, nrm, cnt, hit = out
+    hit = hit & mask
+    cnt = jnp.where(hit, cnt, 0)
+    return pts, dps, nrm, cnt, hit
+
+
+def physics_step(scene: Scene, state: State, settings: PhysicsSettings,
+                 dt: float) -> Tuple[State, StepInfo]:
+    """One fixed substep. For the reference's fixed-timestep frame loop with
+    interpolation, see `FixedTimestepDriver` in dxk_tpu/utils/timestep.py."""
+    dt = jnp.float32(dt)
+    controls = state.controls if state.controls is not None \
+        else scene.default_controls
+
+    # 1-2: colliders -> AABBs -> candidate overlaps
+    w = world_colliders(scene, state.pos, state.rot)
+    mn, mx = collider_aabbs(scene, w)
+
+    all_pts, all_dps, all_nrm = [], [], []
+    all_cnt, all_hit = [], []
+    all_body_a, all_body_b, all_fric, all_rest = [], [], [], []
+    num_overlaps = jnp.int32(0)
+    num_dropped = jnp.int32(0)
+
+    for group in scene.pair_groups:
+        mask = aabb_overlap_mask(mn, mx, group.pairs)
+        num_overlaps = num_overlaps + jnp.sum(mask.astype(jnp.int32))
+        pairs, mask, dropped = compact_pairs(group.pairs, mask, group.max_narrow)
+        num_dropped = num_dropped + dropped
+
+        pts, dps, nrm, cnt, hit = _contacts_for_group(scene, w, group, pairs, mask)
+        ia, ib = pairs[:, 0], pairs[:, 1]
+        # friction/restitution combine (collision_narrow.cpp:2234-2237)
+        fric = jnp.clip(jnp.sqrt(w.friction[ia] * w.friction[ib]), 0.0, 1.0)
+        rest = jnp.clip(jnp.maximum(w.restitution[ia], w.restitution[ib]), 0.0, 1.0)
+
+        all_pts.append(pts)
+        all_dps.append(dps)
+        all_nrm.append(nrm)
+        all_cnt.append(cnt)
+        all_hit.append(hit)
+        all_body_a.append(w.body[ia])
+        all_body_b.append(w.body[ib])
+        all_fric.append(fric)
+        all_rest.append(rest)
+
+    # 4: trigger / force-field overlaps -> interactions
+    trigger_overlap = None
+    ff_force_per_body = None
+    if scene.overlap_pairs is not None and scene.overlap_pairs.shape[0] > 0:
+        trigger_overlap, ff_force_per_body = _overlap_interactions(
+            scene, w, mn, mx)
+
+    # apply localized force-field forces before integration (physics.cpp:963-967)
+    if ff_force_per_body is not None:
+        state = state.replace(force_acc=state.force_acc + ff_force_per_body)
+
+    # 5: integrate forces
+    bodies = integrate_forces(scene, state, dt)
+
+    # flatten contacts: (sum_groups P*4,) contact slots
+    prepped_contacts = None
+    total_contacts = jnp.int32(0)
+    if all_pts:
+        pts = jnp.concatenate([p.reshape(-1, 3) for p in all_pts])
+        dps = jnp.concatenate([d.reshape(-1) for d in all_dps])
+        nrm = jnp.concatenate([jnp.repeat(n, 4, axis=0) for n in all_nrm])
+        slot = jnp.concatenate([
+            jnp.tile(jnp.arange(4), c.shape[0]) for c in all_cnt])
+        cnt4 = jnp.concatenate([jnp.repeat(c, 4) for c in all_cnt])
+        hit4 = jnp.concatenate([jnp.repeat(h, 4) for h in all_hit])
+        cmask = hit4 & (slot < cnt4)
+        body_a = jnp.concatenate([jnp.repeat(b, 4) for b in all_body_a])
+        body_b = jnp.concatenate([jnp.repeat(b, 4) for b in all_body_b])
+        fric = jnp.concatenate([jnp.repeat(f, 4) for f in all_fric])
+        rest = jnp.concatenate([jnp.repeat(r, 4) for r in all_rest])
+        total_contacts = jnp.sum(cmask.astype(jnp.int32))
+        prepped_contacts = prep_contacts(
+            bodies, body_a, body_b, pts, nrm, dps, fric, rest,
+            cmask.astype(pts.dtype), dt)
+
+    # 6: constraint prep + solve
+    prepped = Prepped(
+        contacts=prepped_contacts,
+        distance=prep_distance(bodies, scene.distance, dt)
+        if scene.distance is not None else None,
+        ball=prep_ball(bodies, scene.ball, dt)
+        if scene.ball is not None else None,
+        fixed=prep_fixed(bodies, scene.fixed, dt)
+        if scene.fixed is not None else None,
+        hinge=prep_hinge(bodies, scene.hinge, controls, dt)
+        if scene.hinge is not None else None,
+        cone_twist=prep_cone_twist(bodies, scene.cone_twist, controls, dt)
+        if scene.cone_twist is not None else None,
+        slider=prep_slider(bodies, scene.slider, controls, dt)
+        if scene.slider is not None else None,
+    )
+    bodies = solve_constraints(bodies, prepped,
+                               settings.num_rigid_solver_iterations,
+                               settings.solver_mode)
+
+    # 7: integrate velocities
+    new_state = integrate_velocities(scene, bodies, state, dt)
+
+    # 8: cloth
+    if scene.cloth is not None and state.cloth is not None:
+        from dxk_tpu.ops.cloth import cloth_step
+        new_state = new_state.replace(cloth=cloth_step(
+            scene.cloth, state.cloth, settings, scene.global_ff_force, dt))
+
+    info = StepInfo(
+        num_broadphase_overlaps=num_overlaps,
+        num_contacts=total_contacts,
+        broadphase_overflow=num_dropped,
+        trigger_overlap=trigger_overlap,
+    )
+    return new_state, info
+
+
+def _overlap_interactions(scene: Scene, w, mn, mx):
+    """Trigger/FF vs rigid-body overlap checks (overlapCheck,
+    collision_narrow.cpp:1593-1689) — boolean tests on the static overlap
+    pair list, with AABB pre-filter. Returns (trigger_overlap mask,
+    per-body FF force)."""
+    pairs = scene.overlap_pairs
+    mask = aabb_overlap_mask(mn, mx, pairs)
+    ia, ib = pairs[:, 0], pairs[:, 1]
+
+    # exact overlap via the contact functions, branch per type combo done
+    # host-side is not possible here (pair types are static but mixed in one
+    # list); round-1 approximation: AABB overlap. TODO(round2): exact
+    # shape-vs-shape overlap per static type bucket.
+    overlap = mask
+
+    c = scene.colliders
+    # which side is the trigger/FF, which is the rigid body
+    a_is_other = c.owner_type[ia] >= 2
+    other_idx = jnp.where(a_is_other, ia, ib)
+    rb_collider = jnp.where(a_is_other, ib, ia)
+    rb_body = c.body[rb_collider]
+
+    is_ff = (c.owner_type[other_idx] == 2) & overlap
+    ff_slot = c.owner_index[other_idx]
+    ff_force = scene.ff_forces[ff_slot] * is_ff[:, None]
+    n1 = scene.num_bodies + 1
+    force_per_body = jnp.zeros((n1, 3), ff_force.dtype).at[rb_body].add(ff_force)
+
+    is_trigger = (c.owner_type[other_idx] == 3) & overlap
+    return is_trigger, force_per_body

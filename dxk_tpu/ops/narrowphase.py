@@ -388,3 +388,208 @@ def box_box_contact(ca, ha, qa, cb, hb, qb):
 
 def shapes_overlap(manifold):
     return manifold[4]
+
+
+# ---------------------------------------------------------------------------
+# GJK/EPA-based pairs (capsule/cylinder vs box, cylinder-cylinder, hulls)
+# (collision_narrow.cpp:705-1071, 1150-1584)
+
+from dxk_tpu.ops.gjk import (gjk_intersection, support_box, support_capsule,  # noqa: E402
+                             support_cylinder, support_hull, support_sphere)
+from dxk_tpu.ops.epa import epa  # noqa: E402
+
+_IDQ = jnp.array([0.0, 0.0, 0.0, 1.0], jnp.float32)
+
+
+def _gjk_epa_point(sup_a, sup_b, pa, pb, max_iterations=20):
+    """Generic 1-contact GJK+EPA pair (e.g. sphere-hull,
+    collision_narrow.cpp:496-520). Like the reference, EPA's best
+    approximation is used even if it did not fully converge."""
+    hit, simplex = gjk_intersection(sup_a, sup_b, pa, pb)
+    point, normal, depth = epa(sup_a, sup_b, pa, pb, simplex,
+                               max_iterations=max_iterations)
+    return _one_point(point, depth, normal, hit)
+
+
+def _aabb_face_clip_segment(seg_a, seg_b, radius, bh, normal, base):
+    """Shared capsule/cylinder vs box-face manifold enrichment
+    (collision_narrow.cpp:731-765, 979-1014): clip the shifted axis segment
+    against the side planes of the box face opposing `normal`. All in
+    box-local space with the box centered at origin. Returns
+    (points (4,3), depths (4,), count ())."""
+    aabb_normal = -normal
+    # reference plane: corner components selected by aabb_normal sign
+    ref_point = jnp.where(aabb_normal < 0.0, -bh, bh)
+    ref_plane = make_plane(ref_point, aabb_normal)
+
+    pa = seg_a + normal * radius
+    pb = seg_b + normal * radius
+    poly_v = jnp.zeros((POLY_SLOTS, 3), seg_a.dtype).at[0].set(pa).at[1].set(pb)
+    poly_d = jnp.zeros((POLY_SLOTS,), seg_a.dtype)
+    poly_d = poly_d.at[0].set(-signed_distance(pa, ref_plane))
+    poly_d = poly_d.at[1].set(-signed_distance(pb, ref_plane))
+
+    from dxk_tpu.ops.narrowphase import _aabb_clip_planes_local
+    cp_pts, cp_nrm = _aabb_clip_planes_local(bh, aabb_normal)
+    planes = jnp.concatenate(
+        [cp_nrm, -jnp.sum(cp_nrm * cp_pts, axis=-1, keepdims=True)], axis=-1)
+
+    v, dps, n = sutherland_hodgman(poly_v, poly_d, jnp.int32(2), planes)
+    v, dps, n = project_and_filter(v, dps, n, ref_plane)
+    pts, dps, count = reduce_manifold(v, dps, n, base)
+    return pts, dps, count
+
+
+def capsule_box_contact(aa, ab, ar, bc, bh, bq):
+    """collision_narrow.cpp:705-790: GJK+EPA for the contact, then if the
+    capsule lies parallel to a box face, a 2-point manifold by clipping the
+    capsule axis against the face side planes. Done in box-local space
+    (OBB path, 771-790)."""
+    la = quat_inv_rotate(bq, aa - bc)
+    lb = quat_inv_rotate(bq, ab - bc)
+    cap = (la, lb, ar)
+    box = (jnp.zeros(3, la.dtype), bh, _IDQ)
+    hit, simplex = gjk_intersection(support_capsule, support_box, cap, box)
+    point, normal, depth = epa(support_capsule, support_box, cap, box, simplex)
+
+    is_face = jnp.any(jnp.abs(normal) > 0.99)
+    axis = normalize(lb - la)
+    parallel = jnp.abs(dot(normal, axis)) < 0.01
+    enrich = is_face & parallel
+
+    e_pts, e_dps, e_count = _aabb_face_clip_segment(la, lb, ar, bh, normal, normal)
+    use = enrich & (e_count > 0)
+
+    pts1, dps1, nrm1, cnt1, _ = _one_point(point, depth, normal, hit)
+    pts = jnp.where(use, e_pts, pts1)
+    dps = jnp.where(use, e_dps, dps1)
+    cnt = jnp.where(use, e_count, cnt1)
+
+    # back to world
+    pts = quat_rotate(bq[None, :], pts) + bc
+    nrm = quat_rotate(bq, normal)
+    cnt = jnp.where(hit, cnt, 0).astype(jnp.int32)
+    return pts, dps, nrm, cnt, hit
+
+
+def cylinder_box_contact(aa, ab, ar, bc, bh, bq):
+    """collision_narrow.cpp:953-1043: like capsule-box; the cap-face case is
+    left as a single EPA contact (reference TODO at 1015-1018)."""
+    la = quat_inv_rotate(bq, aa - bc)
+    lb = quat_inv_rotate(bq, ab - bc)
+    cyl = (la, lb, ar)
+    box = (jnp.zeros(3, la.dtype), bh, _IDQ)
+    hit, simplex = gjk_intersection(support_cylinder, support_box, cyl, box)
+    point, normal, depth = epa(support_cylinder, support_box, cyl, box, simplex)
+
+    is_face = jnp.any(jnp.abs(normal) > 0.99)
+    axis = normalize(lb - la)
+    cos_angle = jnp.abs(dot(normal, axis))
+    enrich = is_face & (cos_angle < 0.01)
+
+    e_pts, e_dps, e_count = _aabb_face_clip_segment(la, lb, ar, bh, normal, normal)
+    use = enrich & (e_count > 0)
+
+    pts1, dps1, nrm1, cnt1, _ = _one_point(point, depth, normal, hit)
+    pts = jnp.where(use, e_pts, pts1)
+    dps = jnp.where(use, e_dps, dps1)
+    cnt = jnp.where(use, e_count, cnt1)
+
+    pts = quat_rotate(bq[None, :], pts) + bc
+    nrm = quat_rotate(bq, normal)
+    cnt = jnp.where(hit, cnt, 0).astype(jnp.int32)
+    return pts, dps, nrm, cnt, hit
+
+
+def cylinder_cylinder_contact(aa, ab, ar, ba, bb, br):
+    """collision_narrow.cpp:821-951: parallel -> cap-to-cap (1 contact) or
+    tube-to-tube (2 contacts); otherwise GJK+EPA single contact."""
+    a_dir = ab - aa
+    a_len = length(a_dir)
+    a_dir = a_dir / jnp.maximum(a_len, 1e-30)
+    b_dir = normalize(bb - ba)
+    par = dot(a_dir, b_dir)
+    is_parallel = jnp.abs(par) > 0.99
+
+    p_ba = jnp.where(par < 0.0, bb, ba)
+    p_bb = jnp.where(par < 0.0, ba, bb)
+    b0 = dot(a_dir, p_ba - aa)
+    b1 = dot(a_dir, p_bb - aa)
+    left = jnp.maximum(0.0, b0)
+    right = jnp.minimum(a_len, b1)
+    overlaps = right >= left
+
+    ca0 = aa + left[..., None] * a_dir
+    ca1 = aa + right[..., None] * a_dir
+    cb0 = closest_point_point_segment(ca0, p_ba, p_bb)
+    cb1 = cb0 + (right - left)[..., None] * a_dir
+    nvec = cb0 - ca0
+    d = length(nvec)
+    pen = (ar + br) - d
+    radial_hit = pen >= 0.0
+
+    cap_pen = right - left
+    cap_first = cap_pen < pen
+    b_right = b0 > 0.0
+    cap_normal = jnp.where(b_right, a_dir, -a_dir)
+    cap_point = jnp.where(b_right, ab - cap_pen[..., None] * 0.5 * a_dir * 0.0 - 0.5 * cap_pen[..., None] * jnp.ones_like(a_dir) * 0.0 + ab, aa)  # placeholder, fixed below
+    # reference: point = a.positionB - capPenetration*0.5 (componentwise
+    # subtraction of a scalar — a quirk; we subtract along the axis instead)
+    cap_point = jnp.where(b_right, ab - 0.5 * cap_pen[..., None] * a_dir,
+                          aa + 0.5 * cap_pen[..., None] * a_dir)
+
+    degen = d < EPSILON
+    t_normal = jnp.where(degen, _UP, nvec / jnp.maximum(d, 1e-30))
+
+    # tube-to-tube 2-point manifold
+    pts2 = jnp.zeros((4, 3), aa.dtype).at[0].set((ca0 + cb0) * 0.5).at[1].set((ca1 + cb1) * 0.5)
+    dps2 = jnp.zeros((4,), aa.dtype).at[0].set(pen).at[1].set(pen)
+
+    # cap-to-cap single point
+    pts1c = jnp.zeros((4, 3), aa.dtype).at[0].set(cap_point)
+    dps1c = jnp.zeros((4,), aa.dtype).at[0].set(cap_pen)
+
+    par_hit = overlaps & radial_hit
+    p_pts = jnp.where(cap_first, pts1c, pts2)
+    p_dps = jnp.where(cap_first, dps1c, dps2)
+    p_nrm = jnp.where(cap_first, cap_normal, t_normal)
+    p_cnt = jnp.where(cap_first, 1, 2)
+    p_cnt = jnp.where(par_hit, p_cnt, 0)
+
+    # non-parallel: GJK+EPA
+    g_pts, g_dps, g_nrm, g_cnt, g_hit = _gjk_epa_point(
+        support_cylinder, support_cylinder, (aa, ab, ar), (ba, bb, br))
+
+    pts = jnp.where(is_parallel, p_pts, g_pts)
+    dps = jnp.where(is_parallel, p_dps, g_dps)
+    nrm = jnp.where(is_parallel, p_nrm, g_nrm)
+    cnt = jnp.where(is_parallel, p_cnt, g_cnt).astype(jnp.int32)
+    hit = jnp.where(is_parallel, par_hit, g_hit)
+    return pts, dps, nrm, cnt, hit
+
+
+def sphere_hull_contact(sc, sr, hp, hq, verts, vmask):
+    return _gjk_epa_point(support_sphere, support_hull, (sc, sr),
+                          (hp, hq, verts, vmask))
+
+
+def capsule_hull_contact(aa, ab, ar, hp, hq, verts, vmask):
+    return _gjk_epa_point(support_capsule, support_hull, (aa, ab, ar),
+                          (hp, hq, verts, vmask))
+
+
+def cylinder_hull_contact(aa, ab, ar, hp, hq, verts, vmask):
+    return _gjk_epa_point(support_cylinder, support_hull, (aa, ab, ar),
+                          (hp, hq, verts, vmask))
+
+
+def box_hull_contact(bc, bh, bq, hp, hq, verts, vmask):
+    return _gjk_epa_point(support_box, support_hull, (bc, bh, bq),
+                          (hp, hq, verts, vmask))
+
+
+def hull_hull_contact(ap, aq, averts, amask, bp, bq, bverts, bmask):
+    """hull-hull single contact (multi-contact is a TODO in the reference,
+    collision_narrow.cpp:1558-1584)."""
+    return _gjk_epa_point(support_hull, support_hull, (ap, aq, averts, amask),
+                          (bp, bq, bverts, bmask))

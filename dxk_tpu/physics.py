@@ -79,11 +79,29 @@ def _contacts_for_group(scene, w, group, pairs, mask):
         out = v(np_ops.capsule_cylinder_contact)(a_a, a_b, a_r, b_a, b_b, b_r)
     elif (ta, tb) == (SHAPE_CAPSULE, SHAPE_BOX):
         out = v(np_ops.capsule_box_contact)(a_a, a_b, a_r, b_a, b_b, b_q)
+    elif (ta, tb) == (SHAPE_CYLINDER, SHAPE_CYLINDER):
+        out = v(np_ops.cylinder_cylinder_contact)(a_a, a_b, a_r, b_a, b_b, b_r)
+    elif (ta, tb) == (SHAPE_CYLINDER, SHAPE_BOX):
+        out = v(np_ops.cylinder_box_contact)(a_a, a_b, a_r, b_a, b_b, b_q)
     elif (ta, tb) == (SHAPE_BOX, SHAPE_BOX):
         out = v(np_ops.box_box_contact)(a_a, a_b, a_q, b_a, b_b, b_q)
+    elif tb == SHAPE_HULL:
+        hv = scene.hulls.vertices[w.hull_id[ib]]
+        hm = scene.hulls.vertex_mask[w.hull_id[ib]]
+        if ta == SHAPE_SPHERE:
+            out = v(np_ops.sphere_hull_contact)(a_a, a_r, b_a, b_q, hv, hm)
+        elif ta == SHAPE_CAPSULE:
+            out = v(np_ops.capsule_hull_contact)(a_a, a_b, a_r, b_a, b_q, hv, hm)
+        elif ta == SHAPE_CYLINDER:
+            out = v(np_ops.cylinder_hull_contact)(a_a, a_b, a_r, b_a, b_q, hv, hm)
+        elif ta == SHAPE_BOX:
+            out = v(np_ops.box_hull_contact)(a_a, a_b, a_q, b_a, b_q, hv, hm)
+        else:  # hull-hull
+            av = scene.hulls.vertices[w.hull_id[ia]]
+            am = scene.hulls.vertex_mask[w.hull_id[ia]]
+            out = v(np_ops.hull_hull_contact)(a_a, a_q, av, am, b_a, b_q, hv, hm)
     else:
-        raise NotImplementedError(
-            f"contact pair ({np_ops and ta}, {tb}) not implemented yet")
+        raise NotImplementedError(f"contact pair ({ta}, {tb}) not implemented")
     pts, dps, nrm, cnt, hit = out
     hit = hit & mask
     cnt = jnp.where(hit, cnt, 0)

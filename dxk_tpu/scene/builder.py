@@ -507,11 +507,23 @@ class SceneBuilder:
         for i, c in enumerate(self._colliders):
             owner_body = self._bodies[c.body]
             is_rb = owner_body.kinematic is not None
+            ca, cb, crot = c.a, c.b, c.rot
+            if not is_rb:
+                # static owners map to the dummy body (identity transform),
+                # so bake the owner's transform into the collider params —
+                # the reference instead reads the owner entity's transform
+                # each step (physics.cpp:643-647); statics never move, so
+                # baking is equivalent.
+                p, q = owner_body.position, owner_body.rotation
+                ca = _np_quat_rotate(q, c.a) + p
+                if c.ctype in (SHAPE_CAPSULE, SHAPE_CYLINDER):
+                    cb = _np_quat_rotate(q, c.b) + p
+                crot = _np_quat_mul(q, c.rot)
             col["ctype"][i] = c.ctype
-            col["a"][i] = c.a
-            col["b"][i] = c.b
+            col["a"][i] = ca
+            col["b"][i] = cb
             col["r"][i] = c.r
-            col["rot"][i] = c.rot
+            col["rot"][i] = crot
             col["friction"][i] = c.friction
             col["restitution"][i] = c.restitution
             col["body"][i] = c.body if is_rb else nb

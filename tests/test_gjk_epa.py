@@ -1,0 +1,110 @@
+"""GJK/EPA validation against analytic intersection results."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dxk_tpu.ops.gjk import (gjk_intersection, support_box, support_capsule,
+                             support_sphere)
+from dxk_tpu.ops.epa import epa
+
+IDQ = jnp.array([0.0, 0.0, 0.0, 1.0])
+
+
+def gjk_epa(sup_a, sup_b, pa, pb):
+    hit, simplex = gjk_intersection(sup_a, sup_b, pa, pb)
+    point, normal, depth = epa(sup_a, sup_b, pa, pb, simplex)
+    return hit, point, normal, depth
+
+
+class TestGJK:
+    def test_sphere_sphere_hit_miss(self):
+        a = (jnp.array([0.0, 0.0, 0.0]), jnp.float32(1.0))
+        b_hit = (jnp.array([1.5, 0.0, 0.0]), jnp.float32(1.0))
+        b_miss = (jnp.array([2.5, 0.0, 0.0]), jnp.float32(1.0))
+        hit, _ = gjk_intersection(support_sphere, support_sphere, a, b_hit)
+        assert bool(hit)
+        hit, _ = gjk_intersection(support_sphere, support_sphere, a, b_miss)
+        assert not bool(hit)
+
+    def test_box_box_hit_miss(self):
+        a = (jnp.zeros(3), jnp.ones(3), IDQ)
+        b_hit = (jnp.array([1.5, 0.0, 0.0]), jnp.ones(3), IDQ)
+        b_miss = (jnp.array([2.5, 0.1, 0.0]), jnp.ones(3), IDQ)
+        hit, _ = gjk_intersection(support_box, support_box, a, b_hit)
+        assert bool(hit)
+        hit, _ = gjk_intersection(support_box, support_box, a, b_miss)
+        assert not bool(hit)
+
+    def test_capsule_box_hit_miss(self):
+        box = (jnp.zeros(3), jnp.ones(3), IDQ)
+        cap_hit = (jnp.array([0.0, 1.2, -0.5]), jnp.array([0.0, 1.2, 0.5]),
+                   jnp.float32(0.3))
+        cap_miss = (jnp.array([0.0, 1.5, -0.5]), jnp.array([0.0, 1.5, 0.5]),
+                    jnp.float32(0.3))
+        hit, _ = gjk_intersection(support_capsule, support_box, cap_hit, box)
+        assert bool(hit)
+        hit, _ = gjk_intersection(support_capsule, support_box, cap_miss, box)
+        assert not bool(hit)
+
+    def test_batch_random_spheres_match_analytic(self):
+        rng = np.random.default_rng(0)
+        ca = rng.normal(size=(64, 3)).astype(np.float32)
+        cb = rng.normal(size=(64, 3)).astype(np.float32)
+        ra = rng.uniform(0.2, 1.2, 64).astype(np.float32)
+        rb = rng.uniform(0.2, 1.2, 64).astype(np.float32)
+        want = np.linalg.norm(ca - cb, axis=-1) <= ra + rb
+
+        f = jax.vmap(lambda ca, ra, cb, rb: gjk_intersection(
+            support_sphere, support_sphere, (ca, ra), (cb, rb))[0])
+        got = np.asarray(f(ca, ra, cb, rb))
+        # GJK on smooth shapes can disagree within a tiny boundary band
+        margin = np.abs(np.linalg.norm(ca - cb, axis=-1) - (ra + rb)) > 1e-3
+        assert np.all(got[margin] == want[margin])
+
+
+class TestEPA:
+    def test_sphere_sphere_depth(self):
+        a = (jnp.array([0.0, 0.0, 0.0]), jnp.float32(1.0))
+        b = (jnp.array([1.5, 0.0, 0.0]), jnp.float32(1.0))
+        hit, point, normal, depth = gjk_epa(support_sphere, support_sphere, a, b)
+        assert bool(hit)
+        assert abs(float(depth) - 0.5) < 0.05
+        assert abs(float(normal[0])) > 0.99
+        assert abs(float(point[0]) - 0.75) < 0.1
+
+    def test_box_box_depth(self):
+        a = (jnp.zeros(3), jnp.ones(3), IDQ)
+        b = (jnp.array([1.7, 0.0, 0.0]), jnp.ones(3), IDQ)
+        hit, point, normal, depth = gjk_epa(support_box, support_box, a, b)
+        assert bool(hit)
+        assert abs(float(depth) - 0.3) < 0.02
+        assert abs(float(normal[0])) > 0.99
+
+    def test_capsule_box_face(self):
+        """Capsule lying on top of a box, sunk 0.1 into the face."""
+        box = (jnp.zeros(3), jnp.ones(3), IDQ)
+        cap = (jnp.array([-0.5, 1.2, 0.0]), jnp.array([0.5, 1.2, 0.0]),
+               jnp.float32(0.3))
+        hit, point, normal, depth = gjk_epa(support_capsule, support_box,
+                                            cap, box)
+        assert bool(hit)
+        assert abs(float(depth) - 0.1) < 0.02
+        # normal from capsule to box: -y
+        assert float(normal[1]) < -0.98
+
+    def test_deep_sphere(self):
+        """Deep penetration: small sphere center inside a big box."""
+        box = (jnp.zeros(3), jnp.ones(3), IDQ)
+        sph = (jnp.array([0.0, 0.8, 0.0]), jnp.float32(0.1))
+        hit, point, normal, depth = gjk_epa(support_sphere, support_box,
+                                            sph, box)
+        assert bool(hit)
+        # depth: sphere bottom at 0.7... min translation is +y: 1.0-0.8+0.1=0.3
+        assert abs(float(depth) - 0.3) < 0.05
+        assert abs(float(normal[1])) > 0.95
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-x", "-q"])

@@ -1,0 +1,299 @@
+"""Ragdoll locomotion environment — pure-JAX rebuild of the reference's
+learning stack (/root/reference/src/learning/learned_locomotion.cpp and
+learning/loco_env.py): 66-float observation, 27-float action with EMA
+smoothing (beta=0.1) driving position motors (max torque 200), DReCon-style
+standing reward, head-height fall termination, 2%-per-step random pokes.
+
+Where the reference steps ONE env per ctypes DLL call across 16 OS processes,
+`LocoEnv.reset/step` are jit/vmap-friendly pure functions: thousands of
+environments step in one XLA program (SURVEY.md §2.7).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from dxk_tpu.core.maths import quat_conj, quat_mul, quat_rotate
+from dxk_tpu.models.ragdoll import BODY_PART_NAMES, add_ragdoll
+from dxk_tpu.physics import PhysicsSettings, apply_ray_impulse, physics_step
+from dxk_tpu.scene import SceneBuilder
+from dxk_tpu.scene.scene import Scene, State
+
+NUM_BODY_PARTS = 14
+NUM_CONE_TWIST = 7
+NUM_HINGE = 6
+ACTION_SIZE = NUM_CONE_TWIST * 3 + NUM_HINGE       # 27
+OBS_SIZE = 3 + 6 * 6 + ACTION_SIZE                 # 66
+MOTOR_TORQUE = 200.0                               # learned_locomotion.cpp:76,84-85
+ACTION_EMA_BETA = 0.1                              # learned_locomotion.cpp:95
+POKE_PROBABILITY = 0.02                            # learned_locomotion.cpp:458
+POKE_STRENGTH = 1000.0                             # physics.h:404 default
+DT = 1.0 / 60.0                                    # learned_locomotion.cpp:470-472
+FALL_HEAD_HEIGHT = 1.0                             # learned_locomotion.cpp:152
+
+
+@struct.dataclass
+class EnvState:
+    physics: State
+    smoothed_action: jnp.ndarray     # (27,)
+    rng: jnp.ndarray                 # PRNG key
+    steps: jnp.ndarray               # () int32 episode step counter
+
+
+class LocoEnv:
+    """Build once; `reset`/`step` are pure functions of (state, action, key).
+
+    Scene: ground AABB (center (0,-4), radius (20,4,20), friction 1,
+    restitution 0.1) + ragdoll at hip (0, 1.25, 0) — resetPhysics
+    (learned_locomotion.cpp:440-446)."""
+
+    def __init__(self, solver_iterations: int = 30, solver_mode: str = "scan",
+                 max_narrow_pairs: int = 48, enable_pokes: bool = True):
+        b = SceneBuilder()
+        ground = b.add_static(position=(0.0, -4.0, 0.0))
+        b.add_box_collider(ground, (0, 0, 0), (20.0, 4.0, 20.0),
+                           friction=1.0, restitution=0.1)
+        self.ragdoll = add_ragdoll(b, initial_hip_position=(0.0, 1.25, 0.0))
+        self.scene: Scene = b.finalize(max_narrow_pairs_per_group=max_narrow_pairs)
+        self.settings = PhysicsSettings(
+            num_rigid_solver_iterations=solver_iterations,
+            solver_mode=solver_mode)
+        self.enable_pokes = enable_pokes
+
+        rag = self.ragdoll
+        self.body_ids = jnp.asarray(np.array(rag.body_ids, np.int32))
+        self.parent_ids = np.array(rag.parent_ids, np.int32)
+
+        # observation body parts (learning_state order,
+        # learned_locomotion.h:42-63): leftToes, rightToes, torso, head,
+        # leftLowerArm, rightLowerArm
+        name_to_id = rag.bodies
+        self.obs_parts = jnp.asarray(np.array([
+            name_to_id["left_toes"], name_to_id["right_toes"],
+            name_to_id["torso"], name_to_id["head"],
+            name_to_id["left_lower_arm"], name_to_id["right_lower_arm"],
+        ], np.int32))
+        self.torso_id = name_to_id["torso"]
+        self.head_id = name_to_id["head"]
+
+        # per-part 6 local feature points from the collider-union AABB
+        # (getLocalPositions, learned_locomotion.cpp:195-253)
+        self.local_points = jnp.asarray(self._compute_local_points())  # (14,6,3)
+
+        # reward targets from the initial standing pose (training reset,
+        # learned_locomotion.cpp:304-315): world positions/velocities of the
+        # 6 points per part + local rotation relative to the parent
+        init = self.scene.initial_state()
+        tp, tv, tr = self._body_part_targets(init)
+        self.target_positions = tp        # (14, 6, 3)
+        self.target_velocities = tv       # (14, 6, 3)
+        self.target_local_rotations = tr  # (14, 4)
+        self.head_target_height = float(init.pos[self.head_id, 1])
+
+        # action ranges (getPhysicsRanges, learned_locomotion.cpp:398-427)
+        self.action_min, self.action_max = self._action_ranges()
+
+    # -- build-time helpers ------------------------------------------------
+
+    def _compute_local_points(self):
+        c = self.scene.colliders
+        ctype = np.asarray(c.ctype)
+        a = np.asarray(c.a)
+        bb = np.asarray(c.b)
+        r = np.asarray(c.r)
+        body = np.asarray(c.body)
+        pts = np.zeros((NUM_BODY_PARTS, 6, 3), np.float32)
+        for pi, bid in enumerate(np.asarray(self.body_ids)):
+            mn = np.full(3, np.inf)
+            mx = np.full(3, -np.inf)
+            for ci in np.nonzero(body == bid)[0]:
+                if ctype[ci] == 0:      # sphere
+                    mn = np.minimum(mn, a[ci] - r[ci])
+                    mx = np.maximum(mx, a[ci] + r[ci])
+                elif ctype[ci] == 1:    # capsule
+                    mn = np.minimum(mn, np.minimum(a[ci], bb[ci]) - r[ci])
+                    mx = np.maximum(mx, np.maximum(a[ci], bb[ci]) + r[ci])
+                elif ctype[ci] == 3:    # box (identity local rotation here)
+                    mn = np.minimum(mn, a[ci] - bb[ci])
+                    mx = np.maximum(mx, a[ci] + bb[ci])
+                else:
+                    raise NotImplementedError
+            ctr = (mn + mx) * 0.5
+            rad = (mx - mn) * 0.5
+            for axis in range(3):
+                e = np.zeros(3)
+                e[axis] = rad[axis]
+                pts[pi, axis] = ctr - e
+                pts[pi, axis + 3] = ctr + e
+        return pts
+
+    def _body_part_targets(self, state: State):
+        """getBodyPartTarget for all parts (learned_locomotion.cpp:255-274):
+        world positions + point velocities of the 6 points, and rotation
+        relative to the parent body."""
+        ids = self.body_ids
+        pos = state.pos[ids]
+        rot = state.rot[ids]
+        pts_w = quat_rotate(rot[:, None, :], self.local_points) + pos[:, None, :]
+
+        # point velocity: v + w x (p - cog_world)
+        bp = self.scene.body_params
+        cog_w = pos + quat_rotate(rot, bp.local_cog[ids])
+        v = state.lin_vel[ids][:, None, :]
+        w = state.ang_vel[ids][:, None, :]
+        vel_w = v + jnp.cross(w, pts_w - cog_w[:, None, :])
+
+        parent = jnp.asarray(self.parent_ids)
+        parent_rot = jnp.where((parent >= 0)[:, None],
+                               state.rot[jnp.maximum(parent, 0)],
+                               jnp.array([0.0, 0.0, 0.0, 1.0]))
+        local_rot = quat_mul(rot, quat_conj(parent_rot))
+        return pts_w, vel_w, local_rot
+
+    def _action_ranges(self):
+        j_ct = self.scene.cone_twist
+        j_h = self.scene.hinge
+        mins, maxs = [], []
+        ct_order = self.ragdoll.cone_twist_ids
+        for i in ct_order:
+            swing = float(j_ct.limit_min[i])
+            twist = float(j_ct.limit_max[i])
+            mins += [-twist if twist >= 0 else -np.pi,
+                     -swing if swing >= 0 else -np.pi, -np.pi]
+            maxs += [twist if twist >= 0 else np.pi,
+                     swing if swing >= 0 else np.pi, np.pi]
+        for i in self.ragdoll.hinge_ids:
+            mn = float(j_h.limit_min[i])
+            mx = float(j_h.limit_max[i])
+            mins.append(mn if mn <= 0 else -np.pi)
+            maxs.append(mx if mx >= 0 else np.pi)
+        return (jnp.asarray(np.array(mins, np.float32)),
+                jnp.asarray(np.array(maxs, np.float32)))
+
+    # -- controls ----------------------------------------------------------
+
+    def _controls_from_action(self, smoothed):
+        """applyAction -> updateConstraint (learned_locomotion.cpp:73-112):
+        position motors with max torque 200 on all 13 joints."""
+        ct = smoothed[:NUM_CONE_TWIST * 3].reshape(NUM_CONE_TWIST, 3)
+        hinge_t = smoothed[NUM_CONE_TWIST * 3:]
+        ct_ids = jnp.asarray(np.array(self.ragdoll.cone_twist_ids, np.int32))
+        h_ids = jnp.asarray(np.array(self.ragdoll.hinge_ids, np.int32))
+
+        c = self.scene.default_controls
+        n_ct = c.ct_swing_target.shape[0]
+        n_h = c.hinge_target.shape[0]
+        ones_ct = jnp.ones((n_ct,), jnp.float32)
+        ones_h = jnp.ones((n_h,), jnp.float32)
+        return c.replace(
+            hinge_motor_type=jnp.ones((n_h,), jnp.int32),
+            hinge_target=jnp.zeros((n_h,)).at[h_ids].set(hinge_t),
+            hinge_max_torque=ones_h * MOTOR_TORQUE,
+            ct_swing_motor_type=jnp.ones((n_ct,), jnp.int32),
+            ct_swing_target=jnp.zeros((n_ct,)).at[ct_ids].set(ct[:, 1]),
+            ct_swing_axis_angle=jnp.zeros((n_ct,)).at[ct_ids].set(ct[:, 2]),
+            ct_swing_max_torque=ones_ct * MOTOR_TORQUE,
+            ct_twist_motor_type=jnp.ones((n_ct,), jnp.int32),
+            ct_twist_target=jnp.zeros((n_ct,)).at[ct_ids].set(ct[:, 0]),
+            ct_twist_max_torque=ones_ct * MOTOR_TORQUE,
+        )
+
+    # -- observation / reward ------------------------------------------------
+
+    def _observe(self, state: State, smoothed) -> jnp.ndarray:
+        """getState (learned_locomotion.cpp:133-148): everything in the
+        torso-ground frame (identity rotation, origin = torso COG with
+        y zeroed, getCoordinateSystem 114-122)."""
+        bp = self.scene.body_params
+        torso_cog = (state.pos[self.torso_id]
+                     + quat_rotate(state.rot[self.torso_id],
+                                   bp.local_cog[self.torso_id]))
+        origin = torso_cog * jnp.array([1.0, 0.0, 1.0])
+
+        ids = self.obs_parts
+        cog_w = state.pos[ids] + quat_rotate(state.rot[ids], bp.local_cog[ids])
+        rel_pos = cog_w - origin
+        vel = state.lin_vel[ids]
+
+        cog_velocity = state.lin_vel[self.torso_id]
+        parts = jnp.concatenate([rel_pos, vel], axis=-1).reshape(-1)
+        return jnp.concatenate([cog_velocity, parts, smoothed])
+
+    def _head_height(self, state: State):
+        return state.pos[self.head_id, 1]
+
+    def has_fallen(self, state: State):
+        return self._head_height(state) < FALL_HEAD_HEIGHT
+
+    def reward(self, state: State) -> jnp.ndarray:
+        """getReward (learned_locomotion.cpp:329-357)."""
+        tp, tv, tr = self._body_part_targets(state)
+        pos_err = jnp.sum(jnp.linalg.norm(tp - self.target_positions, axis=-1))
+        vel_err = jnp.sum(jnp.linalg.norm(tv - self.target_velocities, axis=-1))
+        rot_diff = quat_mul(self.target_local_rotations, quat_conj(tr))
+        rot_err = jnp.sum(2.0 * jnp.arccos(jnp.clip(rot_diff[..., 3], -1.0, 1.0)))
+
+        vcm_err = jnp.linalg.norm(state.lin_vel[self.torso_id])
+
+        rp = jnp.exp(-10.0 / NUM_BODY_PARTS * pos_err)
+        rv = jnp.exp(-1.0 / NUM_BODY_PARTS * vel_err)
+        rlocal = jnp.exp(-10.0 / NUM_BODY_PARTS * rot_err)
+        rvcm = jnp.exp(-vcm_err)
+
+        fall = jnp.clip(1.3 - 1.4 * (self.head_target_height
+                                     - self._head_height(state)), 0.0, 1.0)
+        return fall * (rp + rv + rlocal + rvcm)
+
+    # -- gym-like API --------------------------------------------------------
+
+    def reset(self, rng) -> Tuple[EnvState, jnp.ndarray]:
+        state = self.scene.initial_state()
+        smoothed = jnp.zeros((ACTION_SIZE,), jnp.float32)
+        state = state.replace(controls=self._controls_from_action(smoothed))
+        env = EnvState(physics=state, smoothed_action=smoothed, rng=rng,
+                       steps=jnp.int32(0))
+        return env, self._observe(state, smoothed)
+
+    def step(self, env: EnvState, action) -> Tuple[EnvState, jnp.ndarray,
+                                                   jnp.ndarray, jnp.ndarray]:
+        """One 60 Hz control step (updatePhysics,
+        learned_locomotion.cpp:452-489). Returns (env', obs, reward, done).
+        Auto-reset on done (the vmapped-env replacement for SB3's VecEnv
+        semantics)."""
+        rng, k_poke, k_part, k_dir = jax.random.split(env.rng, 4)
+
+        smoothed = env.smoothed_action + (action - env.smoothed_action) * ACTION_EMA_BETA
+        state = env.physics.replace(controls=self._controls_from_action(smoothed))
+
+        if self.enable_pokes:
+            part = jax.random.randint(k_part, (), 0, NUM_BODY_PARTS)
+            d2 = jax.random.uniform(k_dir, (2,), minval=-1.0, maxval=1.0)
+            direction = jnp.array([d2[0], 0.0, d2[1]])
+            direction = direction / jnp.maximum(jnp.linalg.norm(direction), 1e-6)
+            origin = (state.pos[self.body_ids[part]]
+                      + jnp.array([0.0, 0.2, 0.0]) - direction * 5.0)
+            poked = apply_ray_impulse(self.scene, state, origin, direction,
+                                      POKE_STRENGTH)
+            do_poke = jax.random.uniform(k_poke) < POKE_PROBABILITY
+            state = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(do_poke, a, b), poked, state)
+
+        state, _ = physics_step(self.scene, state, self.settings, DT)
+
+        obs = self._observe(state, smoothed)
+        done = self.has_fallen(state)
+        reward = jnp.where(done, 0.0, self.reward(state))
+
+        next_env = EnvState(physics=state, smoothed_action=smoothed, rng=rng,
+                            steps=env.steps + 1)
+        # auto-reset
+        reset_env, reset_obs = self.reset(rng)
+        env_out = jax.tree_util.tree_map(
+            lambda r, n: jnp.where(done, r, n), reset_env, next_env)
+        obs_out = jnp.where(done, reset_obs, obs)
+        return env_out, obs_out, reward, done

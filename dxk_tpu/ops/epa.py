@@ -3,13 +3,16 @@
 Rebuild of epaCollisionInfo (/root/reference/src/physics/collision_epa.h:96-168,
 collision_epa.cpp) for TPU. The reference maintains a half-edge polytope with
 dynamic arrays capped at 1024 slots and 20 iterations; here the polytope is a
-fixed-size triangle soup with an active mask:
+fixed-size triangle soup with an active mask, updated with TPU-friendly dense
+ops only (no scatters, no argsort — both lower poorly on TPU):
 
   - per iteration, triangle normals/distances are recomputed from the point
-    array (cheaper than bookkeeping adjacency on TPU),
-  - the horizon of the new support point is found by matching directed edges
-    of removed (visible) triangles against each other,
-  - new triangles are scattered into inactive slots.
+    array (cheaper than bookkeeping adjacency),
+  - the horizon of the new support point is the set of directed edges of
+    removed (visible) triangles whose reverse edge is not also removed,
+    found with one (3T x 3T) masked comparison,
+  - the next triangle list = top_k over [surviving old triangles ++ horizon
+    fan triangles], a dense compaction instead of free-slot scatters.
 
 Like the reference, the function always returns its best approximation
 (closest face) even when the iteration cap is hit (collision_epa.h:94-96).
@@ -23,24 +26,24 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from dxk_tpu.core.maths import cross, dot, normalize, squared_length
+from dxk_tpu.core.maths import cross, dot
+from dxk_tpu.ops.tpu_gather import (onehot_gather, onehot_gather_1d,
+                                    onehot_gather_int, onehot_select_row)
 
 _BIG = 3.4e38
 
 
-def _triangle_info(mink, tris):
+def _triangle_info(mink, tris, active):
     """Normals (pointing away from origin) + distance to origin for all
     triangle slots (epa_simplex::getTriangleInfo)."""
-    a = mink[tris[:, 0]]
-    b = mink[tris[:, 1]]
-    c = mink[tris[:, 2]]
+    g = onehot_gather(mink, tris)            # (T, 3, 3)
+    a, b, c = g[:, 0], g[:, 1], g[:, 2]
     n = cross(b - a, c - a)
     n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
     d = dot(n, a)
     flip = d < 0.0
     n = jnp.where(flip[:, None], -n, n)
-    d = jnp.abs(d)
-    return n, d
+    return n, jnp.abs(d)
 
 
 def epa(support_a, support_b, a_params, b_params, simplex,
@@ -48,14 +51,12 @@ def epa(support_a, support_b, a_params, b_params, simplex,
     """simplex: (4, 3, 3) from gjk_intersection (rows a/b/c/d, fields
     pA/pB/minkowski). Returns (point (3,), normal (3,), depth ())."""
     P = 4 + max_iterations                 # point capacity
-    T = 4 + 3 * max_iterations             # triangle slot capacity
+    T = 4 + 2 * max_iterations + 4         # triangle slots (EPA adds 2/point)
     dtype = simplex.dtype
 
     pts = jnp.zeros((P, 3, 3), dtype).at[:4].set(simplex)
     n_pts = jnp.int32(4)
 
-    # initial tetrahedron faces (indices into pts; orientation fixed by
-    # _triangle_info's away-from-origin normalization)
     tris = jnp.zeros((T, 3), jnp.int32)
     tris = tris.at[0].set(jnp.array([0, 1, 3]))
     tris = tris.at[1].set(jnp.array([1, 2, 3]))
@@ -67,67 +68,56 @@ def epa(support_a, support_b, a_params, b_params, simplex,
         pts, n_pts, tris, active, done = carry
         mink = pts[:, 2]
 
-        normals, dists = _triangle_info(mink, tris)
+        normals, dists = _triangle_info(mink, tris, active)
         scores = jnp.where(active, dists, _BIG)
         closest = jnp.argmin(scores)
-        n_c = normals[closest]
+        n_c = onehot_select_row(normals, closest)
 
         pa = support_a(a_params, n_c)
         pb = support_b(b_params, -n_c)
         w = pa - pb
-        improve = dot(w, n_c) - dists[closest]
-        converged = improve < 0.01
-
+        converged = (dot(w, n_c)
+                     - onehot_select_row(dists, closest)) < 0.01
         step = ~done & ~converged
 
-        # visible faces from w
-        visible = active & (dot(normals, w[None, :]) > dists) & step
+        # faces visible from w get removed
+        visible = active & (dot(normals, w[None, :]) > dists)
 
-        # directed edges of visible triangles: (3T, 2)
-        e01 = tris[:, [0, 1]]
-        e12 = tris[:, [1, 2]]
-        e20 = tris[:, [2, 0]]
-        edges = jnp.concatenate([e01, e12, e20], axis=0)
-        edge_vis = jnp.concatenate([visible, visible, visible])
-
-        # horizon edge: a visible directed edge whose reverse is not among
-        # the visible edges
+        # directed edges of all triangle slots, flagged if their tri is
+        # visible; horizon = visible edge whose reverse is not visible
+        edges = jnp.concatenate([tris[:, [0, 1]], tris[:, [1, 2]],
+                                 tris[:, [2, 0]]], axis=0)        # (3T, 2)
+        eflag = jnp.concatenate([visible, visible, visible])
         u, v = edges[:, 0], edges[:, 1]
         rev_present = jnp.any(
-            edge_vis[None, :] & (u[:, None] == v[None, :])
+            eflag[None, :] & (u[:, None] == v[None, :])
             & (v[:, None] == u[None, :]), axis=1)
-        horizon = edge_vis & ~rev_present
+        horizon = eflag & ~rev_present
 
-        # free slots after removing visible triangles
-        active_after = active & ~visible
-        # place new triangles (u, v, new_point) into free slots
-        rank = jnp.cumsum(horizon.astype(jnp.int32)) - 1   # rank among horizon
-        free_order = jnp.argsort(active_after.astype(jnp.int32),
-                                 stable=True)              # inactive first
-        n_free = jnp.sum(~active_after)
-        ok = horizon & (rank < n_free) & (n_pts < P)
-        target = jnp.where(ok, free_order[jnp.clip(rank, 0, T - 1)], T)
+        # candidate triangle list: survivors ++ horizon fans (u, v, new)
+        new_tris = jnp.stack([u, v, jnp.full_like(u, n_pts)], axis=-1)
+        cand_tris = jnp.concatenate([tris, new_tris])             # (4T, 3)
+        cand_flag = jnp.concatenate([active & ~visible, horizon])
 
-        new_tri = jnp.stack([u, v, jnp.full_like(u, 0)], axis=-1)
-        new_tri = new_tri.at[:, 2].set(n_pts)
-        tris2 = jnp.zeros((T + 1, 3), jnp.int32).at[:T].set(tris)
-        tris2 = tris2.at[target].set(new_tri, mode="drop")
-        tris_n = tris2[:T]
-        active_n = jnp.zeros((T + 1,), bool).at[:T].set(active_after)
-        active_n = active_n.at[target].set(ok, mode="drop")
-        active_n = active_n[:T]
+        # dense compaction to T slots, preserving order (old tris first)
+        n4 = cand_flag.shape[0]
+        order_score = jnp.where(cand_flag, n4 - jnp.arange(n4), -jnp.arange(n4))
+        _, sel = jax.lax.top_k(order_score, T)
+        tris_n = onehot_gather_int(cand_tris, sel)
+        active_n = onehot_gather_1d(cand_flag.astype(jnp.float32), sel) > 0.5
 
-        added_any = jnp.any(ok)
-        pts_n = pts.at[jnp.minimum(n_pts, P - 1)].set(
-            jnp.where(step & added_any, jnp.stack([pa, pb, w]),
-                      pts[jnp.minimum(n_pts, P - 1)]))
+        overflow = jnp.sum(cand_flag) > T
+        added_any = jnp.any(horizon) & (n_pts < P) & ~overflow
+
+        # masked write instead of dynamic-update-slice (slow batched on TPU)
+        write = (jnp.arange(P) == n_pts) & step & added_any
+        pts_n = jnp.where(write[:, None, None],
+                          jnp.stack([pa, pb, w])[None], pts)
         n_pts_n = jnp.where(step & added_any, n_pts + 1, n_pts)
 
-        # if nothing could be added (out of memory / degenerate), stop
         done_n = done | converged | (step & ~added_any)
-
-        tris = jnp.where(step, tris_n, tris)
-        active = jnp.where(step, active_n, active)
+        tris = jnp.where(step & added_any, tris_n, tris)
+        active = jnp.where(step & added_any, active_n, active)
         return (pts_n, n_pts_n, tris, active, done_n), None
 
     init = (pts, n_pts, tris, active, jnp.bool_(False))
@@ -135,7 +125,7 @@ def epa(support_a, support_b, a_params, b_params, simplex,
         body, init, None, length=max_iterations)
 
     mink = pts[:, 2]
-    normals, dists = _triangle_info(mink, tris)
+    normals, dists = _triangle_info(mink, tris, active)
     closest = jnp.argmin(jnp.where(active, dists, _BIG))
     tri = tris[closest]
     n = normals[closest]

@@ -1,0 +1,111 @@
+"""Ray vs shape intersection — used by the poke interaction
+(testPhysicsInteraction, /root/reference/src/physics/physics.cpp:555-629)
+and the debug rasterizer. Mirrors the ray suite in bounding_volumes.cpp.
+
+All functions return (t (), hit ()) with t >= 0 along the (not necessarily
+normalized in the caller's sense — we assume normalized) direction.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from dxk_tpu.core.maths import cross, dot, quat_inv_rotate, squared_length
+
+_INF = 3.4e38
+
+
+def ray_sphere(o, d, center, radius):
+    m = o - center
+    b = dot(m, d)
+    c = dot(m, m) - radius * radius
+    disc = b * b - c
+    ok = disc >= 0.0
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t = -b - sq
+    t = jnp.where(t < 0.0, -b + sq, t)   # inside: exit point
+    hit = ok & (t >= 0.0) & ~((c > 0.0) & (b > 0.0))
+    return jnp.where(hit, t, _INF), hit
+
+
+def ray_aabb(o, d, mn, mx):
+    inv = 1.0 / jnp.where(jnp.abs(d) < 1e-12, jnp.where(d >= 0, 1e-12, -1e-12), d)
+    t1 = (mn - o) * inv
+    t2 = (mx - o) * inv
+    tmin = jnp.max(jnp.minimum(t1, t2))
+    tmax = jnp.min(jnp.maximum(t1, t2))
+    hit = (tmax >= jnp.maximum(tmin, 0.0))
+    t = jnp.where(tmin >= 0.0, tmin, tmax)
+    return jnp.where(hit, t, _INF), hit
+
+
+def ray_box(o, d, center, half, q):
+    ol = quat_inv_rotate(q, o - center)
+    dl = quat_inv_rotate(q, d)
+    return ray_aabb(ol, dl, -half, half)
+
+
+def _ray_infinite_cylinder(o, d, pa, axis, radius):
+    """t for infinite cylinder around `axis` through pa; also returns the
+    axial parameter s of the hit."""
+    m = o - pa
+    md = m - dot(m, axis)[..., None] * axis
+    dd = d - dot(d, axis)[..., None] * axis
+    a = squared_length(dd)
+    b = dot(md, dd)
+    c = squared_length(md) - radius * radius
+    disc = b * b - a * c
+    ok = (disc >= 0.0) & (a > 1e-12)
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t = (-b - sq) / jnp.maximum(a, 1e-12)
+    t = jnp.where(t < 0.0, (-b + sq) / jnp.maximum(a, 1e-12), t)
+    ok = ok & (t >= 0.0)
+    return jnp.where(ok, t, _INF), ok
+
+
+def ray_capsule(o, d, pa, pb, radius):
+    axis_v = pb - pa
+    ln = jnp.sqrt(jnp.maximum(squared_length(axis_v), 1e-12))
+    axis = axis_v / ln[..., None]
+    t_cyl, ok_cyl = _ray_infinite_cylinder(o, d, pa, axis, radius)
+    s = dot(o + t_cyl[..., None] * d - pa, axis)
+    ok_cyl = ok_cyl & (s >= 0.0) & (s <= ln)
+    t1, h1 = ray_sphere(o, d, pa, radius)
+    t2, h2 = ray_sphere(o, d, pb, radius)
+    t = jnp.minimum(jnp.where(ok_cyl, t_cyl, _INF),
+                    jnp.minimum(jnp.where(h1, t1, _INF),
+                                jnp.where(h2, t2, _INF)))
+    return t, t < _INF
+
+
+def ray_cylinder(o, d, pa, pb, radius):
+    axis_v = pb - pa
+    ln = jnp.sqrt(jnp.maximum(squared_length(axis_v), 1e-12))
+    axis = axis_v / ln[..., None]
+    t_cyl, ok_cyl = _ray_infinite_cylinder(o, d, pa, axis, radius)
+    s = dot(o + t_cyl[..., None] * d - pa, axis)
+    ok_side = ok_cyl & (s >= 0.0) & (s <= ln)
+
+    # caps: ray vs the two disk planes
+    def cap(p, n):
+        dn = dot(d, n)
+        t = dot(p - o, n) / jnp.where(jnp.abs(dn) < 1e-12, 1e-12, dn)
+        hitp = o + t[..., None] * d
+        inside = squared_length(hitp - p) <= radius * radius
+        ok = (t >= 0.0) & inside & (jnp.abs(dn) > 1e-12)
+        return jnp.where(ok, t, _INF)
+
+    t = jnp.minimum(jnp.where(ok_side, t_cyl, _INF),
+                    jnp.minimum(cap(pa, axis), cap(pb, axis)))
+    return t, t < _INF
+
+
+def ray_hull(o, d, pos, q, verts, vmask):
+    """Conservative: ray vs hull AABB (exact face test deferred; the poke
+    only needs an approximate hit point on the body)."""
+    ol = quat_inv_rotate(q, o - pos)
+    dl = quat_inv_rotate(q, d)
+    big = 3.4e38
+    mn = jnp.min(jnp.where(vmask[..., None], verts, big), axis=-2)
+    mx = jnp.max(jnp.where(vmask[..., None], verts, -big), axis=-2)
+    return ray_aabb(ol, dl, mn, mx)

@@ -39,6 +39,8 @@ from dxk_tpu.core.maths import (cross, dot, get_tangents, length, noz,
                                 solve_2x2, solve_3x3, get_axis_rotation,
                                 quat_from_axis_angle)
 from dxk_tpu.ops.integrator import SolverBodies
+from dxk_tpu.ops.tpu_gather import (onehot_gather, onehot_gather_1d,
+                                    onehot_scatter_add)
 from dxk_tpu.scene.scene import MotorControls, Scene
 
 DISTANCE_BETA = 0.1
@@ -894,20 +896,29 @@ def _gs_pass(prep, solve_fn, n_acc, v, w, inv_mass, inv_inertia, accs):
     return v, w, accs
 
 
+def _gather_rows(arr, idx):
+    """One-hot-matmul gather of body rows (TPU-friendly; see tpu_gather)."""
+    flat = arr.reshape(arr.shape[0], -1)
+    out = onehot_gather(flat, idx)
+    return out.reshape(idx.shape + arr.shape[1:])
+
+
 def _jacobi_pass(prep, solve_fn, v, w, inv_mass, inv_inertia, accs):
     """Averaged-Jacobi over one constraint type: all constraints solve in
     parallel against the same body velocities; per-body deltas are averaged
     by constraint degree (mass-splitting). The whole-array analog of the
-    reference's conflict-free SIMD batches."""
+    reference's conflict-free SIMD batches. Gathers/scatters run as one-hot
+    matmuls on the MXU (segment-sum), not generic scatter ops."""
     count = prep.body_a.shape[0]
     if count == 0:
         return v, w, accs
 
     a, b = prep.body_a, prep.body_b
-    args = [prep, inv_mass[a], inv_mass[b]]
+    args = [prep, onehot_gather_1d(inv_mass, a), onehot_gather_1d(inv_mass, b)]
     if solve_fn is not _contact_solve_one and solve_fn is not _distance_solve_one:
-        args += [inv_inertia[a], inv_inertia[b]]
-    va, wa, vb, wb = v[a], w[a], v[b], w[b]
+        args += [_gather_rows(inv_inertia, a), _gather_rows(inv_inertia, b)]
+    va, wa = _gather_rows(v, a), _gather_rows(w, a)
+    vb, wb = _gather_rows(v, b), _gather_rows(w, b)
     args += [va, wa, vb, wb]
     args += list(accs)
     out = solve_fn(*args)
@@ -915,12 +926,15 @@ def _jacobi_pass(prep, solve_fn, v, w, inv_mass, inv_inertia, accs):
     new_accs = tuple(out[4:])
 
     n = v.shape[0]
-    ones = jnp.ones_like(a, jnp.float32)
-    deg = (jnp.zeros((n,), jnp.float32).at[a].add(ones).at[b].add(ones))
+    ones = jnp.ones((count, 1), jnp.float32)
+    deg = onehot_scatter_add(jnp.zeros((n, 1), jnp.float32), a, ones)
+    deg = onehot_scatter_add(deg, b, ones)[:, 0]
     inv_deg = 1.0 / jnp.maximum(deg, 1.0)
 
-    dv = jnp.zeros_like(v).at[a].add(nva - va).at[b].add(nvb - vb)
-    dw = jnp.zeros_like(w).at[a].add(nwa - wa).at[b].add(nwb - wb)
+    dv = onehot_scatter_add(jnp.zeros_like(v), a, nva - va)
+    dv = onehot_scatter_add(dv, b, nvb - vb)
+    dw = onehot_scatter_add(jnp.zeros_like(w), a, nwa - wa)
+    dw = onehot_scatter_add(dw, b, nwb - wb)
     v = v + dv * inv_deg[:, None]
     w = w + dw * inv_deg[:, None]
     return v, w, new_accs

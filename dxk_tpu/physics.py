@@ -148,6 +148,14 @@ def physics_step(scene: Scene, state: State, settings: PhysicsSettings,
         all_fric.append(fric)
         all_rest.append(rest)
 
+    # 3b: heightfield terrain contacts (heightmapCollision,
+    # physics.cpp:1238-1248)
+    hf_contacts = None
+    if scene.heightfield is not None:
+        from dxk_tpu.ops.heightmap import heightfield_contacts
+        hf_contacts = heightfield_contacts(
+            scene.heightfield, w, w.body, mn, mx, scene.num_bodies)
+
     # 4: trigger / force-field overlaps -> interactions
     trigger_overlap = None
     ff_force_per_body = None
@@ -165,19 +173,26 @@ def physics_step(scene: Scene, state: State, settings: PhysicsSettings,
     # flatten contacts: (sum_groups P*4,) contact slots
     prepped_contacts = None
     total_contacts = jnp.int32(0)
-    if all_pts:
-        pts = jnp.concatenate([p.reshape(-1, 3) for p in all_pts])
-        dps = jnp.concatenate([d.reshape(-1) for d in all_dps])
-        nrm = jnp.concatenate([jnp.repeat(n, 4, axis=0) for n in all_nrm])
-        slot = jnp.concatenate([
-            jnp.tile(jnp.arange(4), c.shape[0]) for c in all_cnt])
-        cnt4 = jnp.concatenate([jnp.repeat(c, 4) for c in all_cnt])
-        hit4 = jnp.concatenate([jnp.repeat(h, 4) for h in all_hit])
-        cmask = hit4 & (slot < cnt4)
-        body_a = jnp.concatenate([jnp.repeat(b, 4) for b in all_body_a])
-        body_b = jnp.concatenate([jnp.repeat(b, 4) for b in all_body_b])
-        fric = jnp.concatenate([jnp.repeat(f, 4) for f in all_fric])
-        rest = jnp.concatenate([jnp.repeat(r, 4) for r in all_rest])
+    if all_pts or hf_contacts is not None:
+        parts = []
+        if all_pts:
+            pts = jnp.concatenate([p.reshape(-1, 3) for p in all_pts])
+            dps = jnp.concatenate([d.reshape(-1) for d in all_dps])
+            nrm = jnp.concatenate([jnp.repeat(n, 4, axis=0) for n in all_nrm])
+            slot = jnp.concatenate([
+                jnp.tile(jnp.arange(4), c.shape[0]) for c in all_cnt])
+            cnt4 = jnp.concatenate([jnp.repeat(c, 4) for c in all_cnt])
+            hit4 = jnp.concatenate([jnp.repeat(h, 4) for h in all_hit])
+            cmask = hit4 & (slot < cnt4)
+            body_a = jnp.concatenate([jnp.repeat(b, 4) for b in all_body_a])
+            body_b = jnp.concatenate([jnp.repeat(b, 4) for b in all_body_b])
+            fric = jnp.concatenate([jnp.repeat(f, 4) for f in all_fric])
+            rest = jnp.concatenate([jnp.repeat(r, 4) for r in all_rest])
+            parts.append((pts, nrm, dps, body_a, body_b, fric, rest, cmask))
+        if hf_contacts is not None:
+            parts.append(hf_contacts)
+        pts, nrm, dps, body_a, body_b, fric, rest, cmask = (
+            tuple(jnp.concatenate([p[i] for p in parts]) for i in range(8)))
         total_contacts = jnp.sum(cmask.astype(jnp.int32))
         prepped_contacts = prep_contacts(
             bodies, body_a, body_b, pts, nrm, dps, fric, rest,
@@ -251,3 +266,58 @@ def _overlap_interactions(scene: Scene, w, mn, mx):
 
     is_trigger = (c.owner_type[other_idx] == 3) & overlap
     return is_trigger, force_per_body
+
+
+def apply_ray_impulse(scene: Scene, state: State, origin, direction,
+                      strength=1000.0) -> State:
+    """testPhysicsInteraction (physics.cpp:555-629): cast a ray against all
+    colliders owned by rigid bodies; apply `strength * direction` as a force
+    (plus the induced torque) to the closest hit body's accumulators. The
+    force persists until the next integration step, exactly like the
+    reference's accumulator semantics."""
+    from dxk_tpu.ops import raycast as rc
+    from dxk_tpu.core.maths import cross as _cross, quat_rotate as _qr
+
+    c = scene.colliders
+    pos, rot = state.pos, state.rot
+    bpos = pos[c.body]
+    brot = rot[c.body]
+    # ray into each collider owner's local space (physics.cpp:571)
+    from dxk_tpu.core.maths import quat_inv_rotate as _qir
+    o_l = _qir(brot, origin - bpos)
+    d_l = _qir(brot, jnp.broadcast_to(direction, o_l.shape))
+
+    big = 3.4e38
+    t_sph, _ = rc.ray_sphere(o_l, d_l, c.a, c.r)
+    t_cap, _ = rc.ray_capsule(o_l, d_l, c.a, c.b, c.r)
+    t_cyl, _ = rc.ray_cylinder(o_l, d_l, c.a, c.b, c.r)
+    t_box, _ = rc.ray_box(o_l, d_l, c.a, c.b, c.rot)
+    if scene.hulls is not None:
+        t_hull, _ = rc.ray_hull(o_l, d_l, c.a, c.rot,
+                                scene.hulls.vertices[c.hull_id],
+                                scene.hulls.vertex_mask[c.hull_id])
+    else:
+        t_hull = jnp.full_like(t_sph, big)
+
+    t = jnp.where(c.ctype == 0, t_sph,
+        jnp.where(c.ctype == 1, t_cap,
+        jnp.where(c.ctype == 2, t_cyl,
+        jnp.where(c.ctype == 3, t_box, t_hull))))
+    # only colliders owned by dynamic rigid bodies are poke targets
+    is_rb = c.body < scene.num_bodies
+    t = jnp.where(is_rb, t, big)
+
+    best = jnp.argmin(t)
+    hit_any = t[best] < big
+    body = c.body[best]
+
+    hit_local = o_l[best] + t[best] * d_l[best]
+    hit_world = _qr(brot[best], hit_local) + bpos[best]
+    cog_world = pos[body] + _qr(rot[body], scene.body_params.local_cog[body])
+
+    force = direction * strength
+    torque = _cross(hit_world - cog_world, force)
+    scale = jnp.where(hit_any, 1.0, 0.0)
+    return state.replace(
+        force_acc=state.force_acc.at[body].add(force * scale),
+        torque_acc=state.torque_acc.at[body].add(torque * scale))

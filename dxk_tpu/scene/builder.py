@@ -142,6 +142,7 @@ class SceneBuilder:
         self._force_fields: List[dict] = []
         self._num_triggers = 0
         self._cloth: Optional[dict] = None
+        self._heightfield = None
         self.max_narrow_pairs_per_group: Optional[int] = None
 
     # -- bodies --------------------------------------------------------
@@ -284,6 +285,11 @@ class SceneBuilder:
         _, rot = self._body_transform(i)
         return _np_quat_rotate(_np_quat_conj(rot), np.asarray(d, np.float64))
 
+    def _joint_index(self, kind):
+        """Index of the just-added joint within its type's baked array
+        (joints are baked per type in creation order)."""
+        return sum(1 for j in self._joints if j.kind == kind) - 1
+
     def add_distance_constraint(self, a, b, global_anchor_a, global_anchor_b,
                                 distance=None):
         """physics.cpp:128-156."""
@@ -294,14 +300,14 @@ class SceneBuilder:
             local_anchor_a=self._inv_tp(a, global_anchor_a),
             local_anchor_b=self._inv_tp(b, global_anchor_b),
             length=distance)))
-        return len(self._joints) - 1
+        return self._joint_index("distance")
 
     def add_ball_constraint(self, a, b, global_anchor):
         """physics.cpp:158-184."""
         self._joints.append(_Joint("ball", a, b, dict(
             local_anchor_a=self._inv_tp(a, global_anchor),
             local_anchor_b=self._inv_tp(b, global_anchor))))
-        return len(self._joints) - 1
+        return self._joint_index("ball")
 
     def add_fixed_constraint(self, a, b, global_anchor):
         """physics.cpp:204-225."""
@@ -311,7 +317,7 @@ class SceneBuilder:
             local_anchor_a=self._inv_tp(a, global_anchor),
             local_anchor_b=self._inv_tp(b, global_anchor),
             initial_inv_rotation_difference=_np_quat_mul(_np_quat_conj(rb), ra))))
-        return len(self._joints) - 1
+        return self._joint_index("fixed")
 
     def add_hinge_constraint(self, a, b, global_anchor, global_axis,
                              min_limit=1.0, max_limit=-1.0):
@@ -329,7 +335,7 @@ class SceneBuilder:
             local_axis_a=la, local_axis_b=lb,
             local_tangent_a=ta, local_bitangent_a=bta, local_tangent_b=tb,
             limit_min=float(min_limit), limit_max=float(max_limit))))
-        return len(self._joints) - 1
+        return self._joint_index("hinge")
 
     def add_cone_twist_constraint(self, a, b, global_anchor, global_axis,
                                   swing_limit, twist_limit):
@@ -346,7 +352,7 @@ class SceneBuilder:
             local_axis_a=la, local_axis_b=lb,
             local_tangent_a=ta, local_bitangent_a=bta, local_tangent_b=tb,
             limit_min=float(swing_limit), limit_max=float(twist_limit))))
-        return len(self._joints) - 1
+        return self._joint_index("cone_twist")
 
     def add_slider_constraint(self, a, b, global_anchor, global_axis,
                               min_limit=1.0, max_limit=-1.0):
@@ -359,7 +365,17 @@ class SceneBuilder:
             local_axis_a=self._inv_td(a, global_axis),
             initial_inv_rotation_difference=_np_quat_mul(_np_quat_conj(rb), ra),
             limit_min=float(min_limit), limit_max=float(max_limit))))
-        return len(self._joints) - 1
+        return self._joint_index("slider")
+
+    # -- terrain ----------------------------------------------------------
+
+    def set_heightfield(self, heights, cell_size, min_corner=(0.0, 0.0, 0.0),
+                        friction=1.0, restitution=0.0, window=8):
+        """Attach a heightfield terrain collider (reference
+        heightmap_collider_component; heights already in world units)."""
+        from dxk_tpu.ops.heightmap import make_heightfield
+        self._heightfield = make_heightfield(heights, cell_size, min_corner,
+                                             friction, restitution, window)
 
     # -- cloth ------------------------------------------------------------
 
@@ -681,6 +697,7 @@ class SceneBuilder:
             global_ff_force=jnp.asarray(global_ff.astype(dtype)),
             ff_forces=jnp.asarray(ff_forces.astype(dtype)),
             cloth=cloth,
+            heightfield=self._heightfield,
             init_pos=jnp.asarray(init_pos.astype(dtype)),
             init_rot=jnp.asarray(init_rot.astype(dtype)),
         )

@@ -203,6 +203,7 @@ class Scene:
     global_ff_force: jnp.ndarray = None      # (3,)
     ff_forces: jnp.ndarray = None            # (F, 3) localized FF forces
     cloth: Optional[ClothParams] = None
+    heightfield: Any = None   # Optional[dxk_tpu.ops.heightmap.Heightfield]
     # initial dynamic state snapshot
     init_pos: jnp.ndarray = None
     init_rot: jnp.ndarray = None

@@ -1,0 +1,100 @@
+"""Locomotion environment conformance tests (mirrors the reference's
+gym-API surface, loco_env.py:82-94 smoke main + learned_locomotion.cpp)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dxk_tpu.envs.loco_env import (ACTION_SIZE, OBS_SIZE, LocoEnv)
+
+
+@pytest.fixture(scope="module")
+def env():
+    return LocoEnv(solver_iterations=15)  # fewer iters: faster CPU tests
+
+
+class TestLocoEnv:
+    def test_obs_action_sizes(self, env):
+        assert ACTION_SIZE == 27 and OBS_SIZE == 66
+        st, obs = env.reset(jax.random.PRNGKey(0))
+        assert obs.shape == (66,)
+        assert env.action_min.shape == (27,)
+        assert np.all(np.asarray(env.action_min) <= np.asarray(env.action_max))
+
+    def test_initial_reward_is_high(self, env):
+        """At the reset pose every error is 0 -> reward = fall * 4 = 4
+        (learned_locomotion.cpp:347-356)."""
+        st, _ = env.reset(jax.random.PRNGKey(0))
+        r = float(env.reward(st.physics))
+        assert abs(r - 4.0) < 2e-2
+
+    def test_step_runs_and_reward_positive(self, env):
+        st, obs = env.reset(jax.random.PRNGKey(1))
+        step = jax.jit(env.step)
+        zero = jnp.zeros((27,))
+        total = 0.0
+        for _ in range(30):   # 0.5 s standing with zero action
+            st, obs, r, done = step(st, zero)
+            total += float(r)
+        assert np.isfinite(total)
+        assert total > 30 * 1.0   # standing keeps most of the 4.0 reward
+        assert not bool(done)
+        assert np.all(np.isfinite(np.asarray(obs)))
+
+    def test_obs_layout(self, env):
+        """cogVelocity is the torso linear velocity; head relative position
+        appears at the documented offset (learning_state layout)."""
+        st, obs = env.reset(jax.random.PRNGKey(2))
+        obs = np.asarray(obs)
+        assert np.allclose(obs[:3], 0.0)                # at rest
+        # head slot is part index 3 -> offset 3 + 3*6 = 21..23, y ~ 1.86
+        head_rel = obs[3 + 3 * 6: 6 + 3 * 6]
+        assert abs(head_rel[1] - env.head_target_height) < 0.05
+        # last 27 entries are the smoothed action (zero at reset)
+        assert np.allclose(obs[-27:], 0.0)
+
+    def test_ema_smoothing(self, env):
+        st, _ = env.reset(jax.random.PRNGKey(3))
+        a = jnp.ones((27,))
+        st, obs, _, _ = jax.jit(env.step)(st, a)
+        assert np.allclose(np.asarray(st.smoothed_action), 0.1, atol=1e-6)
+        assert np.allclose(np.asarray(obs[-27:]), 0.1, atol=1e-6)
+
+    def test_falls_when_shoved(self, env):
+        """Strong persistent sideways velocity on the torso fells the
+        ragdoll -> done + auto-reset."""
+        st, _ = env.reset(jax.random.PRNGKey(4))
+        phys = st.physics
+        phys = phys.replace(lin_vel=phys.lin_vel.at[env.torso_id].set(
+            jnp.array([8.0, 0.0, 0.0])))
+        st = st.replace(physics=phys)
+        step = jax.jit(env.step)
+        zero = jnp.zeros((27,))
+        fell = False
+        for _ in range(120):
+            st, obs, r, done = step(st, zero)
+            if bool(done):
+                fell = True
+                break
+        assert fell
+        # auto-reset: next state is back at the spawn pose
+        assert abs(float(st.physics.pos[env.head_id, 1])
+                   - env.head_target_height) < 0.05
+
+    def test_vmapped_envs(self, env):
+        n = 4
+        keys = jax.random.split(jax.random.PRNGKey(5), n)
+        reset = jax.jit(jax.vmap(env.reset))
+        step = jax.jit(jax.vmap(env.step))
+        st, obs = reset(keys)
+        assert obs.shape == (n, 66)
+        actions = jnp.zeros((n, 27))
+        for _ in range(5):
+            st, obs, r, done = step(st, actions)
+        assert r.shape == (n,)
+        assert np.all(np.isfinite(np.asarray(obs)))
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-x", "-q"])

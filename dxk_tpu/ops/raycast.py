@@ -32,8 +32,8 @@ def ray_aabb(o, d, mn, mx):
     inv = 1.0 / jnp.where(jnp.abs(d) < 1e-12, jnp.where(d >= 0, 1e-12, -1e-12), d)
     t1 = (mn - o) * inv
     t2 = (mx - o) * inv
-    tmin = jnp.max(jnp.minimum(t1, t2))
-    tmax = jnp.min(jnp.maximum(t1, t2))
+    tmin = jnp.max(jnp.minimum(t1, t2), axis=-1)
+    tmax = jnp.min(jnp.maximum(t1, t2), axis=-1)
     hit = (tmax >= jnp.maximum(tmin, 0.0))
     t = jnp.where(tmin >= 0.0, tmin, tmax)
     return jnp.where(hit, t, _INF), hit

@@ -20,12 +20,15 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from dxk_tpu.ops.tpu_gather import gather_rows
+
 
 def aabb_overlap_mask(aabb_min, aabb_max, pairs):
     """pairs: (P, 2) collider indices. Returns (P,) bool overlap."""
     a, b = pairs[:, 0], pairs[:, 1]
-    no = (jnp.any(aabb_min[a] > aabb_max[b], axis=-1)
-          | jnp.any(aabb_min[b] > aabb_max[a], axis=-1))
+    mna, mxa = gather_rows(aabb_min, a), gather_rows(aabb_max, a)
+    mnb, mxb = gather_rows(aabb_min, b), gather_rows(aabb_max, b)
+    no = jnp.any(mna > mxb, axis=-1) | jnp.any(mnb > mxa, axis=-1)
     return ~no
 
 

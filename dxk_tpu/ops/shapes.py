@@ -14,6 +14,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from dxk_tpu.core.maths import quat_mul, quat_rotate
+from dxk_tpu.ops.tpu_gather import gather_rows
 from dxk_tpu.scene.scene import (SHAPE_BOX, SHAPE_CAPSULE, SHAPE_CYLINDER,
                                  SHAPE_HULL, SHAPE_SPHERE, Colliders, Scene)
 
@@ -38,8 +39,8 @@ class WorldColliders:
 def world_colliders(scene: Scene, pos, rot) -> WorldColliders:
     """Transform all colliders by their owning body's transform."""
     c = scene.colliders
-    bpos = pos[c.body]
-    brot = rot[c.body]
+    bpos = gather_rows(pos, c.body)
+    brot = gather_rows(rot, c.body)
 
     a_w = quat_rotate(brot, c.a) + bpos
     b_seg = quat_rotate(brot, c.b) + bpos      # capsule/cylinder endpoint

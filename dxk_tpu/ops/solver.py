@@ -39,8 +39,8 @@ from dxk_tpu.core.maths import (cross, dot, get_tangents, length, noz,
                                 solve_2x2, solve_3x3, get_axis_rotation,
                                 quat_from_axis_angle)
 from dxk_tpu.ops.integrator import SolverBodies
-from dxk_tpu.ops.tpu_gather import (onehot_gather, onehot_gather_1d,
-                                    onehot_scatter_add)
+from dxk_tpu.ops.tpu_gather import (gather_rows, onehot_gather,
+                                    onehot_gather_1d, onehot_scatter_add)
 from dxk_tpu.scene.scene import MotorControls, Scene
 
 DISTANCE_BETA = 0.1
@@ -97,20 +97,20 @@ class ContactPrep:
 def prep_contacts(bodies: SolverBodies, body_a, body_b, point, normal, depth,
                   friction, restitution, mask, dt) -> ContactPrep:
     inv_dt = 1.0 / dt
-    pa = bodies.pos_cog[body_a]
-    pb = bodies.pos_cog[body_b]
+    pa = gather_rows(bodies.pos_cog, body_a)
+    pb = gather_rows(bodies.pos_cog, body_b)
     rel_a = point - pa
     rel_b = point - pb
 
-    va = bodies.v[body_a] + cross(bodies.w[body_a], rel_a)
-    vb = bodies.v[body_b] + cross(bodies.w[body_b], rel_b)
+    va = gather_rows(bodies.v, body_a) + cross(gather_rows(bodies.w, body_a), rel_a)
+    vb = gather_rows(bodies.v, body_b) + cross(gather_rows(bodies.w, body_b), rel_b)
     rel_v = vb - va
     tangent = noz(rel_v - dot(normal, rel_v)[..., None] * normal)
 
-    inv_ia = bodies.inv_inertia[body_a]
-    inv_ib = bodies.inv_inertia[body_b]
-    inv_ma = bodies.inv_mass[body_a]
-    inv_mb = bodies.inv_mass[body_b]
+    inv_ia = gather_rows(bodies.inv_inertia, body_a)
+    inv_ib = gather_rows(bodies.inv_inertia, body_b)
+    inv_ma = onehot_gather_1d(bodies.inv_mass, body_a)
+    inv_mb = onehot_gather_1d(bodies.inv_mass, body_b)
 
     cr_at = cross(rel_a, tangent)
     cr_bt = cross(rel_b, tangent)
@@ -193,20 +193,22 @@ class DistancePrep:
 def prep_distance(bodies: SolverBodies, j, dt) -> DistancePrep:
     inv_dt = 1.0 / dt
     a, b = j.body_a, j.body_b
-    rel_a = quat_rotate(bodies.rot[a], j.local_anchor_a - bodies.local_cog[a])
-    rel_b = quat_rotate(bodies.rot[b], j.local_anchor_b - bodies.local_cog[b])
-    ga = bodies.pos_cog[a] + rel_a
-    gb = bodies.pos_cog[b] + rel_b
+    rot_ga = gather_rows(bodies.rot, a)
+    rot_gb = gather_rows(bodies.rot, b)
+    rel_a = quat_rotate(rot_ga, j.local_anchor_a - gather_rows(bodies.local_cog, a))
+    rel_b = quat_rotate(rot_gb, j.local_anchor_b - gather_rows(bodies.local_cog, b))
+    ga = gather_rows(bodies.pos_cog, a) + rel_a
+    gb = gather_rows(bodies.pos_cog, b) + rel_b
     u = gb - ga
     l = length(u)
     u = jnp.where((l > 0.001)[..., None], u / jnp.maximum(l, 1e-12)[..., None], 0.0)
 
     cr_a = cross(rel_a, u)
     cr_b = cross(rel_b, u)
-    inv_ia = bodies.inv_inertia[a]
-    inv_ib = bodies.inv_inertia[b]
-    im = (bodies.inv_mass[a] + dot(cr_a, _mat_vec(inv_ia, cr_a))
-          + bodies.inv_mass[b] + dot(cr_b, _mat_vec(inv_ib, cr_b)))
+    inv_ia = gather_rows(bodies.inv_inertia, a)
+    inv_ib = gather_rows(bodies.inv_inertia, b)
+    im = (onehot_gather_1d(bodies.inv_mass, a) + dot(cr_a, _mat_vec(inv_ia, cr_a))
+          + onehot_gather_1d(bodies.inv_mass, b) + dot(cr_b, _mat_vec(inv_ib, cr_b)))
     bias = jnp.where(dt > DT_THRESHOLD, (l - j.length) * (DISTANCE_BETA * inv_dt), 0.0)
     return DistancePrep(
         body_a=a, body_b=b, rel_a=rel_a, rel_b=rel_b, u=u, bias=bias,
@@ -245,12 +247,14 @@ class BallPrep:
 def prep_ball(bodies: SolverBodies, j, dt) -> BallPrep:
     inv_dt = 1.0 / dt
     a, b = j.body_a, j.body_b
-    rel_a = quat_rotate(bodies.rot[a], j.local_anchor_a - bodies.local_cog[a])
-    rel_b = quat_rotate(bodies.rot[b], j.local_anchor_b - bodies.local_cog[b])
-    ga = bodies.pos_cog[a] + rel_a
-    gb = bodies.pos_cog[b] + rel_b
-    m = _point_inv_effective_mass(bodies.inv_inertia[a], bodies.inv_inertia[b],
-                                  bodies.inv_mass[a], bodies.inv_mass[b],
+    rot_ga = gather_rows(bodies.rot, a)
+    rot_gb = gather_rows(bodies.rot, b)
+    rel_a = quat_rotate(rot_ga, j.local_anchor_a - gather_rows(bodies.local_cog, a))
+    rel_b = quat_rotate(rot_gb, j.local_anchor_b - gather_rows(bodies.local_cog, b))
+    ga = gather_rows(bodies.pos_cog, a) + rel_a
+    gb = gather_rows(bodies.pos_cog, b) + rel_b
+    m = _point_inv_effective_mass(gather_rows(bodies.inv_inertia, a), gather_rows(bodies.inv_inertia, b),
+                                  onehot_gather_1d(bodies.inv_mass, a), onehot_gather_1d(bodies.inv_mass, b),
                                   rel_a, rel_b)
     bias = jnp.where(dt > DT_THRESHOLD, (gb - ga) * (BALL_BETA * inv_dt), 0.0)
     return BallPrep(body_a=a, body_b=b, rel_a=rel_a, rel_b=rel_b,
@@ -288,16 +292,16 @@ class FixedPrep:
 def prep_fixed(bodies: SolverBodies, j, dt) -> FixedPrep:
     inv_dt = 1.0 / dt
     a, b = j.body_a, j.body_b
-    rot_a = bodies.rot[a]
-    rot_b = bodies.rot[b]
-    rel_a = quat_rotate(rot_a, j.local_anchor_a - bodies.local_cog[a])
-    rel_b = quat_rotate(rot_b, j.local_anchor_b - bodies.local_cog[b])
-    ga = bodies.pos_cog[a] + rel_a
-    gb = bodies.pos_cog[b] + rel_b
-    inv_ia = bodies.inv_inertia[a]
-    inv_ib = bodies.inv_inertia[b]
-    mt = _point_inv_effective_mass(inv_ia, inv_ib, bodies.inv_mass[a],
-                                   bodies.inv_mass[b], rel_a, rel_b)
+    rot_a = gather_rows(bodies.rot, a)
+    rot_b = gather_rows(bodies.rot, b)
+    rel_a = quat_rotate(rot_a, j.local_anchor_a - gather_rows(bodies.local_cog, a))
+    rel_b = quat_rotate(rot_b, j.local_anchor_b - gather_rows(bodies.local_cog, b))
+    ga = gather_rows(bodies.pos_cog, a) + rel_a
+    gb = gather_rows(bodies.pos_cog, b) + rel_b
+    inv_ia = gather_rows(bodies.inv_inertia, a)
+    inv_ib = gather_rows(bodies.inv_inertia, b)
+    mt = _point_inv_effective_mass(inv_ia, inv_ib, onehot_gather_1d(bodies.inv_mass, a),
+                                   onehot_gather_1d(bodies.inv_mass, b), rel_a, rel_b)
     mr = inv_ia + inv_ib
 
     t_bias = jnp.where(dt > DT_THRESHOLD, (gb - ga) * (BALL_BETA * inv_dt), 0.0)
@@ -359,16 +363,16 @@ class HingePrep:
 def prep_hinge(bodies: SolverBodies, j, controls: MotorControls, dt) -> HingePrep:
     inv_dt = 1.0 / dt
     a, b = j.body_a, j.body_b
-    rot_a = bodies.rot[a]
-    rot_b = bodies.rot[b]
-    rel_a = quat_rotate(rot_a, j.local_anchor_a - bodies.local_cog[a])
-    rel_b = quat_rotate(rot_b, j.local_anchor_b - bodies.local_cog[b])
-    ga = bodies.pos_cog[a] + rel_a
-    gb = bodies.pos_cog[b] + rel_b
-    inv_ia = bodies.inv_inertia[a]
-    inv_ib = bodies.inv_inertia[b]
-    inv_ma = bodies.inv_mass[a]
-    inv_mb = bodies.inv_mass[b]
+    rot_a = gather_rows(bodies.rot, a)
+    rot_b = gather_rows(bodies.rot, b)
+    rel_a = quat_rotate(rot_a, j.local_anchor_a - gather_rows(bodies.local_cog, a))
+    rel_b = quat_rotate(rot_b, j.local_anchor_b - gather_rows(bodies.local_cog, b))
+    ga = gather_rows(bodies.pos_cog, a) + rel_a
+    gb = gather_rows(bodies.pos_cog, b) + rel_b
+    inv_ia = gather_rows(bodies.inv_inertia, a)
+    inv_ib = gather_rows(bodies.inv_inertia, b)
+    inv_ma = onehot_gather_1d(bodies.inv_mass, a)
+    inv_mb = onehot_gather_1d(bodies.inv_mass, b)
 
     mt = _point_inv_effective_mass(inv_ia, inv_ib, inv_ma, inv_mb, rel_a, rel_b)
     t_bias = jnp.where(dt > DT_THRESHOLD, (gb - ga) * (BALL_BETA * inv_dt), 0.0)
@@ -523,17 +527,17 @@ class ConeTwistPrep:
 def prep_cone_twist(bodies: SolverBodies, j, controls: MotorControls, dt) -> ConeTwistPrep:
     inv_dt = 1.0 / dt
     a, b = j.body_a, j.body_b
-    rot_a = bodies.rot[a]
-    rot_b = bodies.rot[b]
-    rel_a = quat_rotate(rot_a, j.local_anchor_a - bodies.local_cog[a])
-    rel_b = quat_rotate(rot_b, j.local_anchor_b - bodies.local_cog[b])
-    ga = bodies.pos_cog[a] + rel_a
-    gb = bodies.pos_cog[b] + rel_b
-    inv_ia = bodies.inv_inertia[a]
-    inv_ib = bodies.inv_inertia[b]
+    rot_a = gather_rows(bodies.rot, a)
+    rot_b = gather_rows(bodies.rot, b)
+    rel_a = quat_rotate(rot_a, j.local_anchor_a - gather_rows(bodies.local_cog, a))
+    rel_b = quat_rotate(rot_b, j.local_anchor_b - gather_rows(bodies.local_cog, b))
+    ga = gather_rows(bodies.pos_cog, a) + rel_a
+    gb = gather_rows(bodies.pos_cog, b) + rel_b
+    inv_ia = gather_rows(bodies.inv_inertia, a)
+    inv_ib = gather_rows(bodies.inv_inertia, b)
 
-    m = _point_inv_effective_mass(inv_ia, inv_ib, bodies.inv_mass[a],
-                                  bodies.inv_mass[b], rel_a, rel_b)
+    m = _point_inv_effective_mass(inv_ia, inv_ib, onehot_gather_1d(bodies.inv_mass, a),
+                                  onehot_gather_1d(bodies.inv_mass, b), rel_a, rel_b)
     bias = jnp.where(dt > DT_THRESHOLD, (gb - ga) * (BALL_BETA * inv_dt), 0.0)
 
     # relative rotation decomposition (constraints.cpp:1823-1846)
@@ -724,16 +728,16 @@ class SliderPrep:
 def prep_slider(bodies: SolverBodies, j, controls: MotorControls, dt) -> SliderPrep:
     inv_dt = 1.0 / dt
     a, b = j.body_a, j.body_b
-    rot_a = bodies.rot[a]
-    rot_b = bodies.rot[b]
-    rel_a = quat_rotate(rot_a, j.local_anchor_a - bodies.local_cog[a])
-    rel_b = quat_rotate(rot_b, j.local_anchor_b - bodies.local_cog[b])
-    ga = bodies.pos_cog[a] + rel_a
-    gb = bodies.pos_cog[b] + rel_b
-    inv_ia = bodies.inv_inertia[a]
-    inv_ib = bodies.inv_inertia[b]
-    inv_ma = bodies.inv_mass[a]
-    inv_mb = bodies.inv_mass[b]
+    rot_a = gather_rows(bodies.rot, a)
+    rot_b = gather_rows(bodies.rot, b)
+    rel_a = quat_rotate(rot_a, j.local_anchor_a - gather_rows(bodies.local_cog, a))
+    rel_b = quat_rotate(rot_b, j.local_anchor_b - gather_rows(bodies.local_cog, b))
+    ga = gather_rows(bodies.pos_cog, a) + rel_a
+    gb = gather_rows(bodies.pos_cog, b) + rel_b
+    inv_ia = gather_rows(bodies.inv_inertia, a)
+    inv_ib = gather_rows(bodies.inv_inertia, b)
+    inv_ma = onehot_gather_1d(bodies.inv_mass, a)
+    inv_mb = onehot_gather_1d(bodies.inv_mass, b)
 
     axis = quat_rotate(rot_a, j.local_axis_a)
     tangent, bitangent = get_tangents(axis)
@@ -896,13 +900,6 @@ def _gs_pass(prep, solve_fn, n_acc, v, w, inv_mass, inv_inertia, accs):
     return v, w, accs
 
 
-def _gather_rows(arr, idx):
-    """One-hot-matmul gather of body rows (TPU-friendly; see tpu_gather)."""
-    flat = arr.reshape(arr.shape[0], -1)
-    out = onehot_gather(flat, idx)
-    return out.reshape(idx.shape + arr.shape[1:])
-
-
 def _jacobi_pass(prep, solve_fn, v, w, inv_mass, inv_inertia, accs):
     """Averaged-Jacobi over one constraint type: all constraints solve in
     parallel against the same body velocities; per-body deltas are averaged
@@ -916,9 +913,9 @@ def _jacobi_pass(prep, solve_fn, v, w, inv_mass, inv_inertia, accs):
     a, b = prep.body_a, prep.body_b
     args = [prep, onehot_gather_1d(inv_mass, a), onehot_gather_1d(inv_mass, b)]
     if solve_fn is not _contact_solve_one and solve_fn is not _distance_solve_one:
-        args += [_gather_rows(inv_inertia, a), _gather_rows(inv_inertia, b)]
-    va, wa = _gather_rows(v, a), _gather_rows(w, a)
-    vb, wb = _gather_rows(v, b), _gather_rows(w, b)
+        args += [gather_rows(inv_inertia, a), gather_rows(inv_inertia, b)]
+    va, wa = gather_rows(v, a), gather_rows(w, a)
+    vb, wb = gather_rows(v, b), gather_rows(w, b)
     args += [va, wa, vb, wb]
     args += list(accs)
     out = solve_fn(*args)

@@ -75,3 +75,10 @@ def onehot_scatter_add_1d(target, idx, values):
     oh = jax.nn.one_hot(idx, n, dtype=jnp.float32)
     return target + jnp.einsum("kn,k->n", oh,
                                values.astype(jnp.float32)).astype(target.dtype)
+
+
+def gather_rows(arr, idx):
+    """arr (N, ...) -> (idx.shape..., ...) via one-hot matmul for small N."""
+    flat = arr.reshape(arr.shape[0], -1)
+    out = onehot_gather(flat, idx)
+    return out.reshape(idx.shape + arr.shape[1:])

@@ -52,7 +52,10 @@ class PhysicsSettings:
 
 def _pair_params(w, idx):
     """Gather world shape params for one side of a pair list."""
-    return (w.a[idx], w.b[idx], w.r[idx], w.rot[idx], w.hull_id[idx])
+    from dxk_tpu.ops.tpu_gather import gather_rows, onehot_gather_1d
+    return (gather_rows(w.a, idx), gather_rows(w.b, idx),
+            onehot_gather_1d(w.r, idx), gather_rows(w.rot, idx),
+            w.hull_id[idx])
 
 
 def _contacts_for_group(scene, w, group, pairs, mask):
@@ -135,16 +138,20 @@ def physics_step(scene: Scene, state: State, settings: PhysicsSettings,
         pts, dps, nrm, cnt, hit = _contacts_for_group(scene, w, group, pairs, mask)
         ia, ib = pairs[:, 0], pairs[:, 1]
         # friction/restitution combine (collision_narrow.cpp:2234-2237)
-        fric = jnp.clip(jnp.sqrt(w.friction[ia] * w.friction[ib]), 0.0, 1.0)
-        rest = jnp.clip(jnp.maximum(w.restitution[ia], w.restitution[ib]), 0.0, 1.0)
+        from dxk_tpu.ops.tpu_gather import onehot_gather_1d as _og1
+        fric = jnp.clip(jnp.sqrt(_og1(w.friction, ia) * _og1(w.friction, ib)),
+                        0.0, 1.0)
+        rest = jnp.clip(jnp.maximum(_og1(w.restitution, ia),
+                                    _og1(w.restitution, ib)), 0.0, 1.0)
 
         all_pts.append(pts)
         all_dps.append(dps)
         all_nrm.append(nrm)
         all_cnt.append(cnt)
         all_hit.append(hit)
-        all_body_a.append(w.body[ia])
-        all_body_b.append(w.body[ib])
+        from dxk_tpu.ops.tpu_gather import onehot_gather_1d as _ogi
+        all_body_a.append(_ogi(w.body, ia))
+        all_body_b.append(_ogi(w.body, ib))
         all_fric.append(fric)
         all_rest.append(rest)
 

@@ -553,27 +553,13 @@ class SceneBuilder:
         # --- static broadphase candidate tables -------------------------
         # Pruning mirrors collision_narrow.cpp:2346-2396: drop pairs where
         # neither collider has a rigid body, or both belong to the same one.
-        # Trigger/FF pairs go to the overlap list instead.
-        coll_buckets: Dict[Tuple[int, int], List[Tuple[int, int]]] = {}
-        overlap_pairs: List[Tuple[int, int]] = []
-        for i in range(C):
-            for j in range(i + 1, C):
-                ci, cj = self._colliders[i], self._colliders[j]
-                ti = col["owner_type"][i]
-                tj = col["owner_type"][j]
-                if ti != OWNER_RIGID_BODY and tj != OWNER_RIGID_BODY:
-                    continue
-                if (ti == OWNER_RIGID_BODY and tj == OWNER_RIGID_BODY
-                        and col["body"][i] == col["body"][j]):
-                    continue
-                a_idx, b_idx = (i, j) if ci.ctype <= cj.ctype else (j, i)
-                both_rb = ti == OWNER_RIGID_BODY and tj == OWNER_RIGID_BODY
-                one_static = ti == OWNER_STATIC or tj == OWNER_STATIC
-                if both_rb or one_static:
-                    key = (self._colliders[a_idx].ctype, self._colliders[b_idx].ctype)
-                    coll_buckets.setdefault(key, []).append((a_idx, b_idx))
-                else:
-                    overlap_pairs.append((a_idx, b_idx))
+        # Trigger/FF pairs go to the overlap list instead. Baked by the
+        # native scene-compiler core (native/scene_core.cpp) with a numpy
+        # fallback.
+        from dxk_tpu.scene.native import bake_pair_tables
+        coll_buckets, overlap_np = bake_pair_tables(
+            col["ctype"], col["owner_type"], col["body"])
+        overlap_pairs = [tuple(p) for p in overlap_np]
 
         cap = max_narrow_pairs_per_group or self.max_narrow_pairs_per_group
         groups = []

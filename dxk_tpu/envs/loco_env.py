@@ -53,13 +53,23 @@ class LocoEnv:
     (learned_locomotion.cpp:440-446)."""
 
     def __init__(self, solver_iterations: int = 30, solver_mode: str = "scan",
-                 max_narrow_pairs: int = 48, enable_pokes: bool = True):
+                 max_narrow_pairs: int = 48, enable_pokes: bool = True,
+                 narrow_caps: dict = None):
         b = SceneBuilder()
         ground = b.add_static(position=(0.0, -4.0, 0.0))
         b.add_box_collider(ground, (0, 0, 0), (20.0, 4.0, 20.0),
                            friction=1.0, restitution=0.1)
         self.ragdoll = add_ragdoll(b, initial_hip_position=(0.0, 1.25, 0.0))
         self.scene: Scene = b.finalize(max_narrow_pairs_per_group=max_narrow_pairs)
+        if narrow_caps:
+            # per-(typeA,typeB) narrowphase capacity override, e.g.
+            # {(1, 3): 16} to cap capsule-box slots (GJK/EPA cost is
+            # proportional to capacity, not to live contacts)
+            groups = tuple(
+                g.replace(max_narrow=min(narrow_caps.get(
+                    (g.type_a, g.type_b), g.max_narrow), g.pairs.shape[0]))
+                for g in self.scene.pair_groups)
+            self.scene = self.scene.replace(pair_groups=groups)
         self.settings = PhysicsSettings(
             num_rigid_solver_iterations=solver_iterations,
             solver_mode=solver_mode)

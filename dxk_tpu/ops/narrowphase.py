@@ -398,6 +398,14 @@ from dxk_tpu.ops.gjk import (gjk_intersection, support_box, support_capsule,  # 
                              support_cylinder, support_hull, support_sphere)
 from dxk_tpu.ops.epa import epa  # noqa: E402
 
+# Iteration budgets: primitive pairs converge fast (the reference caps EPA at
+# 20 for everything, collision_epa.h:97, but smooth-primitive-vs-box needs
+# ~6-8 expansions); hulls keep the full budget. These are static costs on
+# TPU — the scan always runs its full length — so they directly set the
+# narrowphase price.
+PRIM_GJK_ITERS = 24
+PRIM_EPA_ITERS = 10
+
 _IDQ = jnp.array([0.0, 0.0, 0.0, 1.0], jnp.float32)
 
 
@@ -449,8 +457,10 @@ def capsule_box_contact(aa, ab, ar, bc, bh, bq):
     lb = quat_inv_rotate(bq, ab - bc)
     cap = (la, lb, ar)
     box = (jnp.zeros(3, la.dtype), bh, _IDQ)
-    hit, simplex = gjk_intersection(support_capsule, support_box, cap, box)
-    point, normal, depth = epa(support_capsule, support_box, cap, box, simplex)
+    hit, simplex = gjk_intersection(support_capsule, support_box, cap, box,
+                                    max_iterations=PRIM_GJK_ITERS)
+    point, normal, depth = epa(support_capsule, support_box, cap, box,
+                               simplex, max_iterations=PRIM_EPA_ITERS)
 
     is_face = jnp.any(jnp.abs(normal) > 0.99)
     axis = normalize(lb - la)
@@ -479,8 +489,10 @@ def cylinder_box_contact(aa, ab, ar, bc, bh, bq):
     lb = quat_inv_rotate(bq, ab - bc)
     cyl = (la, lb, ar)
     box = (jnp.zeros(3, la.dtype), bh, _IDQ)
-    hit, simplex = gjk_intersection(support_cylinder, support_box, cyl, box)
-    point, normal, depth = epa(support_cylinder, support_box, cyl, box, simplex)
+    hit, simplex = gjk_intersection(support_cylinder, support_box, cyl, box,
+                                    max_iterations=PRIM_GJK_ITERS)
+    point, normal, depth = epa(support_cylinder, support_box, cyl, box,
+                               simplex, max_iterations=PRIM_EPA_ITERS)
 
     is_face = jnp.any(jnp.abs(normal) > 0.99)
     axis = normalize(lb - la)
@@ -558,7 +570,8 @@ def cylinder_cylinder_contact(aa, ab, ar, ba, bb, br):
 
     # non-parallel: GJK+EPA
     g_pts, g_dps, g_nrm, g_cnt, g_hit = _gjk_epa_point(
-        support_cylinder, support_cylinder, (aa, ab, ar), (ba, bb, br))
+        support_cylinder, support_cylinder, (aa, ab, ar), (ba, bb, br),
+        max_iterations=PRIM_EPA_ITERS)
 
     pts = jnp.where(is_parallel, p_pts, g_pts)
     dps = jnp.where(is_parallel, p_dps, g_dps)

@@ -1,0 +1,107 @@
+"""Golden trajectory regression tests (SURVEY.md §4 implication (d);
+BASELINE trajectory-fidelity oracle).
+
+The reference has no automated tests; its implicit oracle is dual-path
+scalar/SIMD equivalence. Here the "scan" solver mode is the canonical
+sequential-impulse path; these tests (a) pin its trajectories against
+recorded goldens so solver/collision changes that alter physics are caught
+at 1e-3, and (b) assert scan-vs-jacobi cross-mode agreement on short
+horizons (the scalar-vs-SIMD toggle equivalence, physics.h:394-396).
+
+Goldens regenerate with: python tests/test_golden_trajectories.py --record
+"""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dxk_tpu.physics import PhysicsSettings, physics_step
+from dxk_tpu.scene import SceneBuilder
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+DT = 1.0 / 120.0
+
+
+def scenes():
+    # 1: sphere drop + bounce
+    b = SceneBuilder()
+    g = b.add_static()
+    b.add_box_collider(g, (0, -1, 0), (20, 1, 20), restitution=0.3)
+    s = b.add_body(position=(0.1, 2.0, -0.05))
+    b.add_sphere_collider(s, (0, 0, 0), 0.5, restitution=0.3)
+    yield "sphere_bounce", b
+
+    # 2: 3-box stack
+    b = SceneBuilder()
+    g = b.add_static()
+    b.add_box_collider(g, (0, -1, 0), (20, 1, 20))
+    for i in range(3):
+        bd = b.add_body(position=(0.02 * i, 0.5 + 1.001 * i, -0.01 * i))
+        b.add_box_collider(bd, (0, 0, 0), (0.5, 0.5, 0.5))
+    yield "box_stack", b
+
+    # 3: double pendulum on ball joints
+    b = SceneBuilder()
+    anchor = b.add_body(position=(0, 3, 0), kinematic=True)
+    l1 = b.add_body(position=(0.5, 3, 0))
+    b.add_capsule_collider(l1, (-0.2, 0, 0), (0.2, 0, 0), 0.05)
+    l2 = b.add_body(position=(1.2, 3, 0))
+    b.add_capsule_collider(l2, (-0.2, 0, 0), (0.2, 0, 0), 0.05)
+    b.add_ball_constraint(anchor, l1, (0, 3, 0))
+    b.add_ball_constraint(l1, l2, (0.8, 3, 0))
+    yield "double_pendulum", b
+
+
+def rollout(scene, steps=240, mode="scan"):
+    settings = PhysicsSettings(solver_mode=mode)
+    state = scene.initial_state()
+    step = jax.jit(lambda s: physics_step(scene, s, settings, DT)[0])
+    traj = []
+    for i in range(steps):
+        state = step(state)
+        if i % 10 == 9:
+            traj.append(np.concatenate([np.asarray(state.pos).ravel(),
+                                        np.asarray(state.rot).ravel()]))
+    return np.stack(traj)
+
+
+@pytest.mark.parametrize("name_builder", list(scenes()),
+                         ids=[n for n, _ in scenes()])
+def test_golden(name_builder):
+    name, b = name_builder
+    path = os.path.join(GOLDEN_DIR, f"{name}.npy")
+    scene = b.finalize()
+    traj = rollout(scene)
+    if not os.path.exists(path):
+        pytest.skip(f"golden {name} not recorded")
+    golden = np.load(path)
+    err = np.abs(traj - golden).max()
+    assert err < 1e-3, f"{name}: max deviation {err}"
+
+
+@pytest.mark.parametrize("name_builder", list(scenes())[:1],
+                         ids=[n for n, _ in scenes()][:1])
+def test_scan_vs_jacobi_short_horizon(name_builder):
+    """Cross-mode equivalence over a short horizon (before chaotic
+    divergence), mirroring the reference's scalar/SIMD toggles."""
+    name, b = name_builder
+    scene = b.finalize()
+    t_scan = rollout(scene, steps=30, mode="scan")
+    t_jac = rollout(scene, steps=30, mode="jacobi")
+    assert np.abs(t_scan - t_jac).max() < 5e-2
+
+
+if __name__ == "__main__":
+    if "--record" in sys.argv:
+        os.makedirs(GOLDEN_DIR, exist_ok=True)
+        for name, b in scenes():
+            scene = b.finalize()
+            traj = rollout(scene)
+            np.save(os.path.join(GOLDEN_DIR, f"{name}.npy"), traj)
+            print(f"recorded {name}: {traj.shape}")
+    else:
+        pytest.main([__file__, "-x", "-q"])

@@ -84,14 +84,18 @@ def epa(support_a, support_b, a_params, b_params, simplex,
         visible = active & (dot(normals, w[None, :]) > dists)
 
         # directed edges of all triangle slots, flagged if their tri is
-        # visible; horizon = visible edge whose reverse is not visible
+        # visible; horizon = visible edge whose reverse is not visible.
+        # The reverse-edge lookup goes through a (P, P) point-incidence
+        # matrix built with one-hot matmuls (MXU) instead of a (3T, 3T)
+        # comparison matrix — far smaller intermediates at large batches.
         edges = jnp.concatenate([tris[:, [0, 1]], tris[:, [1, 2]],
                                  tris[:, [2, 0]]], axis=0)        # (3T, 2)
         eflag = jnp.concatenate([visible, visible, visible])
         u, v = edges[:, 0], edges[:, 1]
-        rev_present = jnp.any(
-            eflag[None, :] & (u[:, None] == v[None, :])
-            & (v[:, None] == u[None, :]), axis=1)
+        U = jax.nn.one_hot(u, P, dtype=jnp.float32)               # (3T, P)
+        V = jax.nn.one_hot(v, P, dtype=jnp.float32)
+        M = jnp.einsum("e,ep,eq->pq", eflag.astype(jnp.float32), U, V)
+        rev_present = jnp.einsum("ep,eq,pq->e", V, U, M) > 0.5
         horizon = eflag & ~rev_present
 
         # candidate triangle list: survivors ++ horizon fans (u, v, new)

@@ -245,18 +245,28 @@ def physics_step(scene: Scene, state: State, settings: PhysicsSettings,
 
 def _overlap_interactions(scene: Scene, w, mn, mx):
     """Trigger/FF vs rigid-body overlap checks (overlapCheck,
-    collision_narrow.cpp:1593-1689) — boolean tests on the static overlap
-    pair list, with AABB pre-filter. Returns (trigger_overlap mask,
+    collision_narrow.cpp:1593-1689): AABB pre-filter, then exact
+    shape-vs-shape tests per static type bucket (reusing the contact
+    kernels as boolean tests). Returns (trigger_overlap mask (Q,),
     per-body FF force)."""
     pairs = scene.overlap_pairs
-    mask = aabb_overlap_mask(mn, mx, pairs)
     ia, ib = pairs[:, 0], pairs[:, 1]
 
-    # exact overlap via the contact functions, branch per type combo done
-    # host-side is not possible here (pair types are static but mixed in one
-    # list); round-1 approximation: AABB overlap. TODO(round2): exact
-    # shape-vs-shape overlap per static type bucket.
-    overlap = mask
+    # exact overlap per type bucket, scattered back to the flat pair order
+    overlap = jnp.zeros((pairs.shape[0],), bool)
+    offset_map = {}
+    flat = [tuple(p) for p in np.asarray_if_possible(pairs)] if False else None
+    # map each bucket row back to its index in scene.overlap_pairs
+    import numpy as _np
+    flat_pairs = _np.asarray(scene.overlap_pairs)
+    index_of = {tuple(p): i for i, p in enumerate(flat_pairs)}
+    for g in scene.overlap_groups:
+        m = aabb_overlap_mask(mn, mx, g.pairs)
+        _, _, _, _, hit = _contacts_for_group(scene, w, g, g.pairs, m)
+        rows = _np.asarray(g.pairs)
+        idxs = jnp.asarray(_np.array([index_of[tuple(p)] for p in rows],
+                                     _np.int32))
+        overlap = overlap.at[idxs].set(hit)
 
     c = scene.colliders
     # which side is the trigger/FF, which is the rigid body

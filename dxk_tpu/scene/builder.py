@@ -570,6 +570,22 @@ class SceneBuilder:
                                     pairs=jnp.asarray(p),
                                     max_narrow=int(max_narrow)))
 
+        # trigger/FF overlap pairs, bucketed by type for exact shape tests
+        # (overlapCheck, collision_narrow.cpp:1593-1689)
+        overlap_groups = []
+        if len(overlap_pairs):
+            op = np.asarray(overlap_pairs, np.int32)
+            ta_arr = col["ctype"][op[:, 0]]
+            tb_arr = col["ctype"][op[:, 1]]
+            for t1 in range(5):
+                for t2 in range(t1, 5):
+                    m = (ta_arr == t1) & (tb_arr == t2)
+                    if m.any():
+                        overlap_groups.append(PairGroup(
+                            type_a=int(t1), type_b=int(t2),
+                            pairs=jnp.asarray(op[m]),
+                            max_narrow=int(m.sum())))
+
         # --- joints -------------------------------------------------------
         def bake(kind, fields):
             js = [j for j in self._joints if j.kind == kind]
@@ -675,6 +691,7 @@ class SceneBuilder:
             ),
             hulls=hulls,
             pair_groups=tuple(groups),
+            overlap_groups=tuple(overlap_groups),
             overlap_pairs=jnp.asarray(
                 np.asarray(overlap_pairs, np.int32).reshape(-1, 2)),
             distance=distance, ball=ball, fixed=fixed, hinge=hinge,

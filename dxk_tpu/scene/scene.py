@@ -190,6 +190,7 @@ class Scene:
     hulls: Optional[HullGeometry] = None
     # broadphase candidate tables, one per active type bucket
     pair_groups: tuple = struct.field(default=())        # tuple[PairGroup]
+    overlap_groups: tuple = struct.field(default=())     # tuple[PairGroup]
     overlap_pairs: jnp.ndarray = None   # (Q, 2) int32 trigger/FF pairs
     # joints
     distance: Optional[JointsOfType] = None

@@ -21,12 +21,20 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _sync(tree):
+    """Force host materialization — block_until_ready is unreliable through
+    the axon TPU tunnel (see CLAUDE.md)."""
+    leaf = jax.tree_util.tree_leaves(tree)[0]
+    return float(jnp.sum(leaf.astype(jnp.float32)))
+
+
 def bench_loco(num_envs, steps, iters_timed, solver_mode, solver_iterations):
     from dxk_tpu.envs.loco_env import LocoEnv
 
     env = LocoEnv(solver_iterations=solver_iterations,
                   solver_mode=solver_mode, max_narrow_pairs=32,
-                  enable_pokes=True)
+                  enable_pokes=True,
+                  narrow_caps={(1, 1): 24, (1, 3): 20, (3, 3): 3})
     keys = jax.random.split(jax.random.PRNGKey(0), num_envs)
     st, obs = jax.jit(jax.vmap(env.reset))(keys)
 
@@ -43,13 +51,13 @@ def bench_loco(num_envs, steps, iters_timed, solver_mode, solver_iterations):
     actions = jnp.zeros((num_envs, 27))
     t_c0 = time.time()
     st2, _ = run(st, actions)
-    jax.block_until_ready(st2.physics.pos)
+    _sync(st2.physics.pos)
     compile_s = time.time() - t_c0
 
     t0 = time.time()
     for _ in range(iters_timed):
         st, r = run(st, actions)
-    jax.block_until_ready(st.physics.pos)
+    _sync(st.physics.pos)
     dt = time.time() - t0
     total_env_steps = num_envs * steps * iters_timed
     return total_env_steps / dt, compile_s
@@ -94,13 +102,13 @@ def bench_box_stack(num_boxes, batch, steps, iters_timed, solver_iterations):
     run = jax.jit(n_steps)
     t_c0 = time.time()
     s2 = run(state)
-    jax.block_until_ready(s2.pos)
+    _sync(s2.pos)
     compile_s = time.time() - t_c0
 
     t0 = time.time()
     for _ in range(iters_timed):
         state = run(state)
-    jax.block_until_ready(state.pos)
+    _sync(state.pos)
     dt = time.time() - t0
     body_steps = n * batch * steps * iters_timed
     return body_steps / dt, compile_s
@@ -120,7 +128,9 @@ def main():
     args = ap.parse_args()
 
     on_tpu = jax.devices()[0].platform != "cpu"
-    num_envs = args.envs or (4096 if on_tpu else 32)
+    # N=1024 sits below the current HBM scaling cliff (docs/PERF_NOTES.md);
+    # raise via --envs when benchmarking multi-chip or after the cliff fix
+    num_envs = args.envs or (1024 if on_tpu else 32)
     num_boxes = args.boxes or (1024 if on_tpu else 64)
     box_batch = args.box_batch or (8 if on_tpu else 1)
 

@@ -188,6 +188,8 @@ class DistancePrep:
     eff_mass: jnp.ndarray
     to_wa: jnp.ndarray
     to_wb: jnp.ndarray
+    color: jnp.ndarray = None
+    num_colors: int = struct.field(pytree_node=False, default=1)
 
 
 def prep_distance(bodies: SolverBodies, j, dt) -> DistancePrep:
@@ -211,7 +213,7 @@ def prep_distance(bodies: SolverBodies, j, dt) -> DistancePrep:
           + onehot_gather_1d(bodies.inv_mass, b) + dot(cr_b, _mat_vec(inv_ib, cr_b)))
     bias = jnp.where(dt > DT_THRESHOLD, (l - j.length) * (DISTANCE_BETA * inv_dt), 0.0)
     return DistancePrep(
-        body_a=a, body_b=b, rel_a=rel_a, rel_b=rel_b, u=u, bias=bias,
+        body_a=a, body_b=b, color=j.color, num_colors=j.num_colors, rel_a=rel_a, rel_b=rel_b, u=u, bias=bias,
         eff_mass=_inv_or_zero(im),
         to_wa=_mat_vec(inv_ia, cross(rel_a, cr_a)),
         to_wb=_mat_vec(inv_ib, cross(rel_b, cr_b)))
@@ -242,6 +244,8 @@ class BallPrep:
     rel_b: jnp.ndarray
     bias: jnp.ndarray
     inv_eff_mass: jnp.ndarray
+    color: jnp.ndarray = None
+    num_colors: int = struct.field(pytree_node=False, default=1)
 
 
 def prep_ball(bodies: SolverBodies, j, dt) -> BallPrep:
@@ -257,7 +261,7 @@ def prep_ball(bodies: SolverBodies, j, dt) -> BallPrep:
                                   onehot_gather_1d(bodies.inv_mass, a), onehot_gather_1d(bodies.inv_mass, b),
                                   rel_a, rel_b)
     bias = jnp.where(dt > DT_THRESHOLD, (gb - ga) * (BALL_BETA * inv_dt), 0.0)
-    return BallPrep(body_a=a, body_b=b, rel_a=rel_a, rel_b=rel_b,
+    return BallPrep(body_a=a, body_b=b, color=j.color, num_colors=j.num_colors, rel_a=rel_a, rel_b=rel_b,
                     bias=bias, inv_eff_mass=m)
 
 
@@ -287,6 +291,8 @@ class FixedPrep:
     inv_eff_trans_mass: jnp.ndarray
     rotation_bias: jnp.ndarray
     inv_eff_rot_mass: jnp.ndarray
+    color: jnp.ndarray = None
+    num_colors: int = struct.field(pytree_node=False, default=1)
 
 
 def prep_fixed(bodies: SolverBodies, j, dt) -> FixedPrep:
@@ -309,7 +315,7 @@ def prep_fixed(bodies: SolverBodies, j, dt) -> FixedPrep:
                        quat_conj(rot_a))
     r_bias = jnp.where(dt > DT_THRESHOLD,
                        rot_err[..., :3] * (SLIDER_BETA * inv_dt * 2.0), 0.0)
-    return FixedPrep(body_a=a, body_b=b, rel_a=rel_a, rel_b=rel_b,
+    return FixedPrep(body_a=a, body_b=b, color=j.color, num_colors=j.num_colors, rel_a=rel_a, rel_b=rel_b,
                      translation_bias=t_bias, inv_eff_trans_mass=mt,
                      rotation_bias=r_bias, inv_eff_rot_mass=mr)
 
@@ -358,6 +364,8 @@ class HingePrep:
     max_motor_impulse: jnp.ndarray
     ml_to_wa: jnp.ndarray               # motorAndLimitImpulseToAngularVelocity
     ml_to_wb: jnp.ndarray
+    color: jnp.ndarray = None
+    num_colors: int = struct.field(pytree_node=False, default=1)
 
 
 def prep_hinge(bodies: SolverBodies, j, controls: MotorControls, dt) -> HingePrep:
@@ -427,7 +435,7 @@ def prep_hinge(bodies: SolverBodies, j, controls: MotorControls, dt) -> HingePre
     limit_bias = jnp.where(dt > DT_THRESHOLD, d * HINGE_LIMIT_BETA * inv_dt, 0.0)
 
     return HingePrep(
-        body_a=a, body_b=b, rel_a=rel_a, rel_b=rel_b,
+        body_a=a, body_b=b, color=j.color, num_colors=j.num_colors, rel_a=rel_a, rel_b=rel_b,
         translation_bias=t_bias, inv_eff_trans_mass=mt,
         rotation_bias=r_bias, inv_eff_rot_mass=mr, bxa=bxa, cxa=cxa,
         axis=axis_a, eff_axial_mass=eff_ax,
@@ -522,6 +530,8 @@ class ConeTwistPrep:
     solve_twist_motor: jnp.ndarray
     twist_motor_velocity: jnp.ndarray
     max_twist_motor_impulse: jnp.ndarray
+    color: jnp.ndarray = None
+    num_colors: int = struct.field(pytree_node=False, default=1)
 
 
 def prep_cone_twist(bodies: SolverBodies, j, controls: MotorControls, dt) -> ConeTwistPrep:
@@ -618,7 +628,7 @@ def prep_cone_twist(bodies: SolverBodies, j, controls: MotorControls, dt) -> Con
     twist_limit_bias = jnp.where(dt > DT_THRESHOLD, d * TWIST_LIMIT_BETA * inv_dt, 0.0)
 
     return ConeTwistPrep(
-        body_a=a, body_b=b, rel_a=rel_a, rel_b=rel_b, bias=bias, inv_eff_mass=m,
+        body_a=a, body_b=b, color=j.color, num_colors=j.num_colors, rel_a=rel_a, rel_b=rel_b, bias=bias, inv_eff_mass=m,
         solve_swing_limit=solve_swing, swing_axis=swing_axis,
         eff_swing_limit_mass=eff_sl, swing_limit_bias=swing_limit_bias,
         sl_to_wa=_mat_vec(inv_ia, swing_axis), sl_to_wb=_mat_vec(inv_ib, swing_axis),
@@ -723,6 +733,8 @@ class SliderPrep:
     solve_motor: jnp.ndarray
     motor_velocity: jnp.ndarray
     max_motor_impulse: jnp.ndarray
+    color: jnp.ndarray = None
+    num_colors: int = struct.field(pytree_node=False, default=1)
 
 
 def prep_slider(bodies: SolverBodies, j, controls: MotorControls, dt) -> SliderPrep:
@@ -793,7 +805,7 @@ def prep_slider(bodies: SolverBodies, j, controls: MotorControls, dt) -> SliderP
                           controls.slider_target)
 
     return SliderPrep(
-        body_a=a, body_b=b, r_au_x_t=rauxt, r_au_x_b=rauxb,
+        body_a=a, body_b=b, color=j.color, num_colors=j.num_colors, r_au_x_t=rauxt, r_au_x_b=rauxb,
         r_b_x_t=rbxt, r_b_x_b=rbxb, tangent=tangent, bitangent=bitangent,
         inv_eff_trans_mass=mt, translation_bias=tb,
         inv_eff_rot_mass=mr, rotation_bias=rb_bias, axis=axis,
@@ -937,6 +949,43 @@ def _jacobi_pass(prep, solve_fn, v, w, inv_mass, inv_inertia, accs):
     return v, w, new_accs
 
 
+def _colored_pass(prep, solve_fn, v, w, inv_mass, inv_inertia, accs):
+    """Colored Gauss-Seidel over one joint type: constraints are grouped by
+    a build-time conflict-free coloring (native color_constraints — the
+    direct analog of scheduleConstraintsSIMD); colors run sequentially,
+    constraints within a color in parallel with no body conflicts, giving
+    exact Gauss-Seidel convergence without a sequential inner loop."""
+    count = prep.body_a.shape[0]
+    if count == 0:
+        return v, w, accs
+
+    a, b = prep.body_a, prep.body_b
+    needs_inertia = (solve_fn is not _contact_solve_one
+                     and solve_fn is not _distance_solve_one)
+    for c in range(prep.num_colors):
+        mask = prep.color == c
+        args = [prep, onehot_gather_1d(inv_mass, a),
+                onehot_gather_1d(inv_mass, b)]
+        if needs_inertia:
+            args += [gather_rows(inv_inertia, a), gather_rows(inv_inertia, b)]
+        va, wa = gather_rows(v, a), gather_rows(w, a)
+        vb, wb = gather_rows(v, b), gather_rows(w, b)
+        args += [va, wa, vb, wb]
+        args += list(accs)
+        out = solve_fn(*args)
+        nva, nwa, nvb, nwb = out[:4]
+        mf = mask.astype(v.dtype)[:, None]
+        dv = onehot_scatter_add(jnp.zeros_like(v), a, (nva - va) * mf)
+        dv = onehot_scatter_add(dv, b, (nvb - vb) * mf)
+        dw = onehot_scatter_add(jnp.zeros_like(w), a, (nwa - wa) * mf)
+        dw = onehot_scatter_add(dw, b, (nwb - wb) * mf)
+        v = v + dv
+        w = w + dw
+        accs = tuple(jnp.where(mask, new, old)
+                     for new, old in zip(out[4:], accs))
+    return v, w, accs
+
+
 def solve_constraints(bodies: SolverBodies, prepped: Prepped,
                       num_iterations: int, mode: str = "scan") -> SolverBodies:
     """Run `num_iterations` rounds over all constraint types in the
@@ -981,6 +1030,9 @@ def solve_constraints(bodies: SolverBodies, prepped: Prepped,
             cur = acc_map.get(name, ())
             if mode == "scan":
                 v, w, new = _gs_pass(prep, fn, n_acc, v, w, inv_m, inv_i, cur)
+            elif (mode == "colored" and name != "contacts"
+                  and getattr(prep, "color", None) is not None):
+                v, w, new = _colored_pass(prep, fn, v, w, inv_m, inv_i, cur)
             else:
                 v, w, new = _jacobi_pass(prep, fn, v, w, inv_m, inv_i, cur)
             if name in acc_map:

@@ -41,7 +41,9 @@ from dxk_tpu.scene.scene import (SHAPE_BOX, SHAPE_CAPSULE, SHAPE_CYLINDER,
 class PhysicsSettings:
     """Mirror of physics_settings (physics.h:382-400). `solver_mode` replaces
     the reference's scalar/SIMD toggles: "scan" = reference-exact sequential
-    impulses, "jacobi" = parallel averaged-Jacobi."""
+    impulses; "jacobi" = parallel averaged-Jacobi; "colored" = build-time
+    graph-colored Gauss-Seidel for joints (exact GS convergence, parallel
+    within colors) with jacobi contacts."""
 
     num_rigid_solver_iterations: int = struct.field(pytree_node=False, default=30)
     num_cloth_velocity_iterations: int = struct.field(pytree_node=False, default=0)

@@ -591,9 +591,15 @@ class SceneBuilder:
             js = [j for j in self._joints if j.kind == kind]
             if not js:
                 return None, 0
+            ba = np.array([j.body_a for j in js], np.int32)
+            bb = np.array([j.body_b for j in js], np.int32)
+            from dxk_tpu.scene.native import color_constraints
+            colors, num_colors = color_constraints(ba, bb, nb)
             data = dict(
-                body_a=jnp.asarray(np.array([j.body_a for j in js], np.int32)),
-                body_b=jnp.asarray(np.array([j.body_b for j in js], np.int32)),
+                body_a=jnp.asarray(ba),
+                body_b=jnp.asarray(bb),
+                color=jnp.asarray(colors),
+                num_colors=int(max(num_colors, 1)),
             )
             for f in fields:
                 arr = np.stack([np.asarray(j.params[f], np.float64) for j in js])

@@ -132,6 +132,10 @@ class JointsOfType:
     # sentinel convention (hinge: min>0 / max<0 disables, physics.h:225-230).
     limit_min: jnp.ndarray = None         # (J,)
     limit_max: jnp.ndarray = None         # (J,)
+    # conflict-free coloring for the "colored" Gauss-Seidel solver mode
+    # (build-time analog of scheduleConstraintsSIMD, constraints.cpp:51-184)
+    color: jnp.ndarray = None             # (J,) int32
+    num_colors: int = struct.field(pytree_node=False, default=1)
 
 
 @struct.dataclass

@@ -262,3 +262,33 @@ class TestChain:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+class TestColoredSolver:
+    def test_colored_matches_scan_on_chain(self):
+        """Colored Gauss-Seidel (build-time graph coloring) matches the
+        sequential scan mode closely on a joint-only scene."""
+        def build():
+            b = SceneBuilder()
+            top = anchor_body(b, (0, 5, 0))
+            prev = top
+            for i in range(5):
+                link = b.add_body(position=(0.4 * (i + 1), 5.0, 0))
+                b.add_capsule_collider(link, (-0.15, 0, 0), (0.15, 0, 0), 0.05)
+                b.add_ball_constraint(prev, link, (0.4 * i + 0.2, 5.0, 0))
+                prev = link
+            return b.finalize()
+
+        scene = build()
+        assert scene.ball.num_colors >= 2   # chain needs alternating colors
+
+        results = {}
+        for mode in ("scan", "colored"):
+            state = scene.initial_state()
+            settings = PhysicsSettings(solver_mode=mode)
+            step = jax.jit(lambda s, st=settings: physics_step(
+                scene, s, st, DT)[0])
+            for _ in range(60):
+                state = step(state)
+            results[mode] = np.asarray(state.pos)
+        assert np.allclose(results["scan"], results["colored"], atol=2e-2)

@@ -16,12 +16,21 @@ import jax
 import jax.numpy as jnp
 
 ONEHOT_MAX_TABLE = 256
+# one-hot is also fine for bigger tables as long as the materialized one-hot
+# stays small (XLA fuses it into the matmul up to a point)
+ONEHOT_MAX_ELEMENTS = 8_000_000
+
+
+def _use_onehot(n, idx) -> bool:
+    import numpy as _np
+    k = int(_np.prod(idx.shape)) if idx.shape else 1
+    return n <= ONEHOT_MAX_TABLE or n * k <= ONEHOT_MAX_ELEMENTS
 
 
 def onehot_gather(table, idx):
     """table: (N, D); idx: (...,) int -> (..., D)."""
     n = table.shape[0]
-    if n > ONEHOT_MAX_TABLE:
+    if not _use_onehot(n, idx):
         return table[idx]
     oh = jax.nn.one_hot(idx, n, dtype=jnp.float32)
     return jnp.einsum("...n,nd->...d", oh,
@@ -31,7 +40,7 @@ def onehot_gather(table, idx):
 def onehot_gather_int(table, idx):
     """Integer table variant (values must be exactly representable in f32)."""
     n = table.shape[0]
-    if n > ONEHOT_MAX_TABLE:
+    if not _use_onehot(n, idx):
         return table[idx]
     out = onehot_gather(table.astype(jnp.float32), idx)
     return jnp.round(out).astype(table.dtype)
@@ -61,7 +70,7 @@ def onehot_scatter_add(target, idx, values):
     """target (N, D), idx (K,), values (K, D): target + sum-by-index.
     One-hot^T matmul (a segment-sum on the MXU) for small N."""
     n = target.shape[0]
-    if n > ONEHOT_MAX_TABLE:
+    if not _use_onehot(n, idx):
         return target.at[idx].add(values)
     oh = jax.nn.one_hot(idx, n, dtype=jnp.float32)        # (K, N)
     return target + jnp.einsum("kn,kd->nd", oh,
@@ -70,7 +79,7 @@ def onehot_scatter_add(target, idx, values):
 
 def onehot_scatter_add_1d(target, idx, values):
     n = target.shape[0]
-    if n > ONEHOT_MAX_TABLE:
+    if not _use_onehot(n, idx):
         return target.at[idx].add(values)
     oh = jax.nn.one_hot(idx, n, dtype=jnp.float32)
     return target + jnp.einsum("kn,k->n", oh,

@@ -81,7 +81,7 @@ def bench_box_stack(num_boxes, batch, steps, iters_timed, solver_iterations):
             body = b.add_body(position=(x, 0.5 + 1.001 * i, z))
             b.add_box_collider(body, (0, 0, 0), (0.5, 0.5, 0.5))
             n += 1
-    scene = b.finalize(max_narrow_pairs_per_group=4 * num_boxes)
+    scene = b.finalize(max_narrow_pairs_per_group=2 * num_boxes)
     settings = PhysicsSettings(num_rigid_solver_iterations=solver_iterations,
                                solver_mode="jacobi")
 

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 ONEHOT_MAX_TABLE = 256
 # one-hot is also fine for bigger tables as long as the materialized one-hot
 # stays small (XLA fuses it into the matmul up to a point)
-ONEHOT_MAX_ELEMENTS = 8_000_000
+ONEHOT_MAX_ELEMENTS = 64_000_000
 
 
 def _use_onehot(n, idx) -> bool:

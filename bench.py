@@ -63,7 +63,8 @@ def bench_loco(num_envs, steps, iters_timed, solver_mode, solver_iterations):
     return total_env_steps / dt, compile_s
 
 
-def bench_box_stack(num_boxes, batch, steps, iters_timed, solver_iterations):
+def bench_box_stack(num_boxes, batch, steps, iters_timed, solver_iterations,
+                    solver_mode="colored"):
     from dxk_tpu.physics import PhysicsSettings, physics_step
     from dxk_tpu.scene import SceneBuilder
 
@@ -83,7 +84,7 @@ def bench_box_stack(num_boxes, batch, steps, iters_timed, solver_iterations):
             n += 1
     scene = b.finalize(max_narrow_pairs_per_group=2 * num_boxes)
     settings = PhysicsSettings(num_rigid_solver_iterations=solver_iterations,
-                               solver_mode="jacobi")
+                               solver_mode=solver_mode)
 
     base = scene.initial_state()
     state = jax.tree_util.tree_map(
@@ -122,6 +123,7 @@ def main():
     ap.add_argument("--boxes", type=int, default=None)
     ap.add_argument("--box-batch", type=int, default=None)
     ap.add_argument("--solver-mode", default="jacobi")
+    ap.add_argument("--box-solver-mode", default="colored")
     ap.add_argument("--solver-iterations", type=int, default=30)
     ap.add_argument("--skip-box", action="store_true")
     ap.add_argument("--skip-loco", action="store_true")
@@ -146,7 +148,9 @@ def main():
 
     if not args.skip_box:
         box_rate, c = bench_box_stack(num_boxes, box_batch, args.steps,
-                                      args.iters, args.solver_iterations)
+                                      args.iters, args.solver_iterations,
+                                      args.box_solver_mode)
+        extras["box_solver_mode"] = args.box_solver_mode
         extras["box_body_steps_per_s"] = round(box_rate)
         extras["box_num_boxes"] = num_boxes
         extras["box_batch"] = box_batch

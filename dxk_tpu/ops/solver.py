@@ -912,7 +912,8 @@ def _gs_pass(prep, solve_fn, n_acc, v, w, inv_mass, inv_inertia, accs):
     return v, w, accs
 
 
-def _jacobi_pass(prep, solve_fn, v, w, inv_mass, inv_inertia, accs):
+def _jacobi_pass(prep, solve_fn, v, w, inv_mass, inv_inertia, accs,
+                 omega=1.0, phase_mask=None):
     """Averaged-Jacobi over one constraint type: all constraints solve in
     parallel against the same body velocities; per-body deltas are averaged
     by constraint degree (mass-splitting). The whole-array analog of the
@@ -932,10 +933,21 @@ def _jacobi_pass(prep, solve_fn, v, w, inv_mass, inv_inertia, accs):
     args += list(accs)
     out = solve_fn(*args)
     nva, nwa, nvb, nwb = out[:4]
-    new_accs = tuple(out[4:])
+    if phase_mask is not None:
+        mf = phase_mask[:, None].astype(v.dtype)
+        nva = va + (nva - va) * mf
+        nvb = vb + (nvb - vb) * mf
+        nwa = wa + (nwa - wa) * mf
+        nwb = wb + (nwb - wb) * mf
+        new_accs = tuple(jnp.where(phase_mask, n_, o_)
+                         for n_, o_ in zip(out[4:], accs))
+    else:
+        new_accs = tuple(out[4:])
 
     n = v.shape[0]
     ones = jnp.ones((count, 1), jnp.float32)
+    if phase_mask is not None:
+        ones = ones * phase_mask[:, None].astype(jnp.float32)
     deg = onehot_scatter_add(jnp.zeros((n, 1), jnp.float32), a, ones)
     deg = onehot_scatter_add(deg, b, ones)[:, 0]
     inv_deg = 1.0 / jnp.maximum(deg, 1.0)
@@ -944,8 +956,11 @@ def _jacobi_pass(prep, solve_fn, v, w, inv_mass, inv_inertia, accs):
     dv = onehot_scatter_add(dv, b, nvb - vb)
     dw = onehot_scatter_add(jnp.zeros_like(w), a, nwa - wa)
     dw = onehot_scatter_add(dw, b, nwb - wb)
-    v = v + dv * inv_deg[:, None]
-    w = w + dw * inv_deg[:, None]
+    # omega: successive over-relaxation on the averaged update (omega > 1
+    # partially compensates the 1/degree damping; tune via
+    # PhysicsSettings.sor_omega)
+    v = v + dv * (omega * inv_deg)[:, None]
+    w = w + dw * (omega * inv_deg)[:, None]
     return v, w, new_accs
 
 
@@ -987,7 +1002,8 @@ def _colored_pass(prep, solve_fn, v, w, inv_mass, inv_inertia, accs):
 
 
 def solve_constraints(bodies: SolverBodies, prepped: Prepped,
-                      num_iterations: int, mode: str = "scan") -> SolverBodies:
+                      num_iterations: int, mode: str = "scan",
+                      omega: float = 1.0) -> SolverBodies:
     """Run `num_iterations` rounds over all constraint types in the
     reference's order: distance, ball, fixed, hinge, cone-twist, slider,
     collision (constraints.cpp:3748-3772)."""
@@ -1033,8 +1049,22 @@ def solve_constraints(bodies: SolverBodies, prepped: Prepped,
             elif (mode == "colored" and name != "contacts"
                   and getattr(prep, "color", None) is not None):
                 v, w, new = _colored_pass(prep, fn, v, w, inv_m, inv_i, cur)
+            elif mode == "colored" and name == "contacts":
+                # hashed color phases: contacts whose lower body index is
+                # congruent mod NC solve together; chain-topology contacts
+                # (stacks) become conflict-free, giving Gauss-Seidel-like
+                # convergence; residual conflicts fall back to averaged
+                # updates within the phase.
+                NC = 4
+                low = jnp.minimum(prep.body_a, prep.body_b)
+                for c in range(NC):
+                    v, w, cur = _jacobi_pass(prep, fn, v, w, inv_m, inv_i,
+                                             cur, omega=omega,
+                                             phase_mask=(low % NC == c))
+                new = cur
             else:
-                v, w, new = _jacobi_pass(prep, fn, v, w, inv_m, inv_i, cur)
+                v, w, new = _jacobi_pass(prep, fn, v, w, inv_m, inv_i, cur,
+                                         omega=omega)
             if name in acc_map:
                 acc_map[name] = new
         return (v, w, (acc_map["hinge"], acc_map["cone_twist"],

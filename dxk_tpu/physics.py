@@ -50,6 +50,7 @@ class PhysicsSettings:
     num_cloth_position_iterations: int = struct.field(pytree_node=False, default=1)
     num_cloth_drift_iterations: int = struct.field(pytree_node=False, default=0)
     solver_mode: str = struct.field(pytree_node=False, default="scan")
+    sor_omega: float = struct.field(pytree_node=False, default=1.0)
 
 
 def _pair_params(w, idx):
@@ -225,7 +226,7 @@ def physics_step(scene: Scene, state: State, settings: PhysicsSettings,
     )
     bodies = solve_constraints(bodies, prepped,
                                settings.num_rigid_solver_iterations,
-                               settings.solver_mode)
+                               settings.solver_mode, settings.sor_omega)
 
     # 7: integrate velocities
     new_state = integrate_velocities(scene, bodies, state, dt)

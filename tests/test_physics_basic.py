@@ -180,3 +180,24 @@ class TestStack:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+class TestTallStack:
+    def test_16_box_tower_colored_solver(self):
+        """Tall towers need Gauss-Seidel-like convergence: hashed-color
+        contact phases hold a 16-box tower where plain averaged Jacobi
+        collapses (docs/PERF_NOTES.md)."""
+        b = SceneBuilder()
+        make_ground(b)
+        ids = []
+        for i in range(16):
+            body = b.add_body(position=(0, 0.5 + i * 1.001, 0))
+            b.add_box_collider(body, (0, 0, 0), (0.5, 0.5, 0.5))
+            ids.append(body)
+        scene = b.finalize()
+        settings = PhysicsSettings(solver_mode="colored",
+                                   num_rigid_solver_iterations=30)
+        state = run(scene, scene.initial_state(), 480, settings)
+        ys = np.asarray(state.pos[np.asarray(ids)][:, 1])
+        err = np.abs(ys - (0.5 + np.arange(16))).max()
+        assert err < 0.4, err

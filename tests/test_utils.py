@@ -119,3 +119,16 @@ class TestStats:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+class TestKNN:
+    def test_knn_matches_numpy(self):
+        from dxk_tpu.utils.knn import knn, nearest
+        rng = np.random.default_rng(0)
+        pts = rng.normal(size=(100, 3)).astype(np.float32)
+        q = rng.normal(size=(5, 3)).astype(np.float32)
+        idx, sq = knn(jnp.asarray(pts), jnp.asarray(q), 3)
+        ref = np.argsort(((q[:, None] - pts[None]) ** 2).sum(-1), axis=1)[:, :3]
+        assert np.array_equal(np.asarray(idx), ref)
+        i, d = nearest(jnp.asarray(pts), jnp.asarray(q[0]))
+        assert int(i) == ref[0, 0]

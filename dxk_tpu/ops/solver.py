@@ -1054,14 +1054,18 @@ def solve_constraints(bodies: SolverBodies, prepped: Prepped,
                 # congruent mod NC solve together; chain-topology contacts
                 # (stacks) become conflict-free, giving Gauss-Seidel-like
                 # convergence; residual conflicts fall back to averaged
-                # updates within the phase.
+                # updates within the phase. fori keeps the trace single
+                # (compile time) since every phase is the same program.
                 NC = 4
                 low = jnp.minimum(prep.body_a, prep.body_b)
-                for c in range(NC):
-                    v, w, cur = _jacobi_pass(prep, fn, v, w, inv_m, inv_i,
-                                             cur, omega=omega,
-                                             phase_mask=(low % NC == c))
-                new = cur
+
+                def phase_body(c, carry, prep=prep, fn=fn):
+                    pv, pw, pcur = carry
+                    return _jacobi_pass(prep, fn, pv, pw, inv_m, inv_i,
+                                        pcur, omega=omega,
+                                        phase_mask=(low % NC == c))
+
+                v, w, new = jax.lax.fori_loop(0, NC, phase_body, (v, w, cur))
             else:
                 v, w, new = _jacobi_pass(prep, fn, v, w, inv_m, inv_i, cur,
                                          omega=omega)

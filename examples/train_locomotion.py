@@ -1,0 +1,78 @@
+"""Train the ragdoll standing/locomotion policy with on-device PPO — the
+workflow of the reference's learning/learn_locomotion.py:58-116 (SB3 PPO over
+16 subprocess envs, best-model checkpointing, resume support), rebuilt as one
+XLA program over vmapped envs.
+
+Run:  PYTHONPATH=. python examples/train_locomotion.py --iters 20
+      (add --resume to continue from the latest checkpoint)
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--num-envs", type=int, default=None)
+    ap.add_argument("--unroll", type=int, default=64)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--solver-iterations", type=int, default=15)
+    ap.add_argument("--ckpt-dir", default="/tmp/dxk_loco_ckpt")
+    ap.add_argument("--csv", default="/tmp/dxk_loco_train.csv")
+    ap.add_argument("--resume", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    from dxk_tpu.envs.loco_env import LocoEnv
+    from dxk_tpu.train.ppo import PPOConfig, make_train
+    from dxk_tpu.utils.checkpoint import BestModelTracker, Checkpointer
+    from dxk_tpu.utils.profiling import StatsLogger, sync
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    num_envs = args.num_envs or (1024 if on_tpu else 16)
+
+    env = LocoEnv(solver_iterations=args.solver_iterations,
+                  solver_mode="jacobi",
+                  narrow_caps={(1, 1): 24, (1, 3): 20, (3, 3): 3})
+    config = PPOConfig(num_envs=num_envs, unroll_length=args.unroll,
+                       learning_rate=args.lr,
+                       num_minibatches=max(4, num_envs // 64))
+    init_fn, train_step = make_train(env, config)
+
+    ckpt = Checkpointer(args.ckpt_dir)
+    tracker = BestModelTracker(ckpt)
+    log = StatsLogger(args.csv)
+
+    ts = jax.jit(init_fn)(jax.random.PRNGKey(0))
+    start = 0
+    if args.resume and ckpt.latest_step is not None:
+        restored = ckpt.restore(template=ts.params)
+        ts = ts._replace(params=restored)
+        start = ckpt.latest_step
+        print(f"resumed params from step {start}")
+
+    step = jax.jit(train_step)
+    t0 = time.time()
+    for i in range(start, start + args.iters):
+        ts, metrics = step(ts)
+        sync(metrics["loss"])
+        r = float(metrics["reward_per_step"])
+        log.log(i, metrics)
+        if tracker.update(i, r, ts.params):
+            tag = " (new best, checkpointed)"
+        else:
+            tag = ""
+        sps = config.num_envs * config.unroll_length / max(
+            (time.time() - t0) / (i - start + 1), 1e-9)
+        print(f"iter {i}: reward/step={r:.3f} loss={float(metrics['loss']):.3f} "
+              f"done_rate={float(metrics['episode_done_rate']):.3f} "
+              f"env-steps/s={sps:,.0f}{tag}")
+    log.flush()
+    print(f"log: {args.csv}; best reward/step: {tracker.best:.3f}")
+
+
+if __name__ == "__main__":
+    main()

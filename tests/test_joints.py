@@ -274,7 +274,9 @@ class TestColoredSolver:
             prev = top
             for i in range(5):
                 link = b.add_body(position=(0.4 * (i + 1), 5.0, 0))
-                b.add_capsule_collider(link, (-0.15, 0, 0), (0.15, 0, 0), 0.05)
+                # short capsules: adjacent links must NOT touch, so the test
+                # isolates joint handling from contact handling
+                b.add_capsule_collider(link, (-0.1, 0, 0), (0.1, 0, 0), 0.05)
                 b.add_ball_constraint(prev, link, (0.4 * i + 0.2, 5.0, 0))
                 prev = link
             return b.finalize()

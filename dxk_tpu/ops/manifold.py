@@ -17,7 +17,21 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+import jax
+
 from dxk_tpu.core.maths import cross, dot, get_tangent, lerp
+
+
+def _scatter_rows(indices, values, out_rows):
+    """Write rows at unique `indices` (drop >= out_rows) via a one-hot
+    matmul — XLA's batched scatter lowers pathologically on TPU."""
+    oh = jax.nn.one_hot(indices, out_rows, dtype=values.dtype)   # (K, R)
+    return jnp.einsum("kr,kd->rd", oh, values)
+
+
+def _scatter_vals(indices, values, out_rows):
+    oh = jax.nn.one_hot(indices, out_rows, dtype=values.dtype)
+    return jnp.einsum("kr,k->r", oh, values)
 
 POLY_SLOTS = 8
 _NEG = -3.4e38
@@ -47,7 +61,9 @@ def _clip_one_plane(verts, depths, n, plane):
     nxt = (idx + 1) % n_safe
 
     start_v, start_d = verts, depths
-    end_v, end_d = verts[nxt], depths[nxt]
+    oh_nxt = jax.nn.one_hot(nxt, S, dtype=verts.dtype)
+    end_v = jnp.einsum("ks,sd->kd", oh_nxt, verts)
+    end_d = jnp.einsum("ks,s->k", oh_nxt, depths)
 
     sd_start = signed_distance(start_v, plane)
     sd_end = signed_distance(end_v, plane)
@@ -71,15 +87,14 @@ def _clip_one_plane(verts, depths, n, plane):
     first_ok = count >= 1
     second_ok = count == 2
 
-    drop = S  # out-of-range scatter index -> dropped
+    drop = S  # out-of-range index row is sliced off (one-hot drops >= S)
     i1 = jnp.where(first_ok, offset, drop)
     i2 = jnp.where(second_ok, offset + 1, drop)
 
-    out_v = jnp.zeros((S + 1, 3), verts.dtype).at[i1].set(first_v, mode="drop")
-    out_v = out_v.at[i2].set(end_v, mode="drop")
-    out_d = jnp.zeros((S + 1,), depths.dtype).at[i1].set(first_d, mode="drop")
-    out_d = out_d.at[i2].set(end_d, mode="drop")
-    return out_v[:S], out_d[:S], new_n
+    # write targets are unique, so two one-hot accumulations == set
+    out_v = _scatter_rows(i1, first_v, S) + _scatter_rows(i2, end_v, S)
+    out_d = _scatter_vals(i1, first_d, S) + _scatter_vals(i2, end_d, S)
+    return out_v, out_d, new_n
 
 
 def sutherland_hodgman(verts, depths, n, planes):
@@ -103,9 +118,9 @@ def project_and_filter(verts, depths, n, ref_plane):
     offset = jnp.cumsum(keep) - keep
     new_n = jnp.sum(keep)
     tgt = jnp.where(valid, offset, S)
-    out_v = jnp.zeros((S + 1, 3), verts.dtype).at[tgt].set(verts, mode="drop")
-    out_d = jnp.zeros((S + 1,), depths.dtype).at[tgt].set(depths, mode="drop")
-    return out_v[:S], out_d[:S], new_n
+    out_v = _scatter_rows(tgt, verts, S)
+    out_d = _scatter_vals(tgt, depths, S)
+    return out_v, out_d, new_n
 
 
 def reduce_manifold(verts, depths, n, normal):
@@ -118,21 +133,25 @@ def reduce_manifold(verts, depths, n, normal):
     def masked_argmax(scores):
         return jnp.argmax(jnp.where(valid, scores, _NEG))
 
+    def row(i):
+        oh = jax.nn.one_hot(i, S, dtype=verts.dtype)
+        return oh @ verts
+
     # 1: extreme along a fixed tangent direction
     search = get_tangent(normal)
     i0 = masked_argmax(dot(verts, search))
-    p0 = verts[i0]
+    p0 = row(i0)
 
     # 2: farthest from first (reference starts bestDistance at 0 over all)
     i1 = masked_argmax(jnp.sum((verts - p0) ** 2, axis=-1))
-    p1 = verts[i1]
+    p1 = row(i1)
 
     # 3: max signed triangle area with (p0, p1)
     qa = p0 - verts
     qb = p1 - verts
     area3 = 0.5 * dot(cross(qa, qb), normal)
     i2 = masked_argmax(area3)
-    p2 = verts[i2]
+    p2 = row(i2)
 
     # 4: max of the three sub-areas
     qc = p2 - verts
@@ -142,8 +161,9 @@ def reduce_manifold(verts, depths, n, normal):
     i3 = masked_argmax(jnp.maximum(jnp.maximum(a1, a2), a3))
 
     sel = jnp.stack([i0, i1, i2, i3])
-    reduced_v = verts[sel]
-    reduced_d = depths[sel]
+    oh_sel = jax.nn.one_hot(sel, S, dtype=verts.dtype)
+    reduced_v = oh_sel @ verts
+    reduced_d = oh_sel @ depths
 
     # if n <= 4: keep the first n slots verbatim
     keep_v = verts[:4]

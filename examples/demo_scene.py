@@ -3,10 +3,18 @@
 spheres, a trigger volume, procedural terrain with a heightfield collider,
 and an optional ball-joint chain. Renders frames with the debug ray-caster.
 
-Run:  PYTHONPATH=. python examples/demo_scene.py  (writes /tmp/demo_*.ppm)
+Run:  python examples/demo_scene.py   (from the repo root; writes /tmp/demo_*.ppm)
 """
 
 from __future__ import annotations
+
+import os
+import sys
+
+# make the repo importable when run as a script; do NOT set PYTHONPATH for
+# this (it would shadow the container's /root/.axon_site sitecustomize and
+# break TPU registration — see CLAUDE.md)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

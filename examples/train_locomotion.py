@@ -3,11 +3,19 @@ workflow of the reference's learning/learn_locomotion.py:58-116 (SB3 PPO over
 16 subprocess envs, best-model checkpointing, resume support), rebuilt as one
 XLA program over vmapped envs.
 
-Run:  PYTHONPATH=. python examples/train_locomotion.py --iters 20
+Run:  python examples/train_locomotion.py --iters 20   (from the repo root)
       (add --resume to continue from the latest checkpoint)
 """
 
 from __future__ import annotations
+
+import os
+import sys
+
+# make the repo importable when run as a script; do NOT set PYTHONPATH for
+# this (it would shadow the container's /root/.axon_site sitecustomize and
+# break TPU registration — see CLAUDE.md)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import argparse
 import time

@@ -236,6 +236,30 @@ class SceneBuilder:
         self._hull_props.append((total_mass, total_cog, inertia_per_density))
         return len(self._hull_geoms) - 1
 
+    def add_hull_geometry_from_mesh(self, vertices: np.ndarray) -> int:
+        """Build convex hull geometry from an arbitrary point cloud / mesh
+        vertex set (reference bounding_hull_geometry::fromMesh,
+        bounding_volumes.cpp:1369-1452: hull vertices + outward-wound faces;
+        the reference also derives half-edge adjacency, which the TPU
+        narrowphase does not need). Faceting via qhull."""
+        from scipy.spatial import ConvexHull
+        pts = np.asarray(vertices, np.float64).reshape(-1, 3)
+        hull = ConvexHull(pts)
+        used = hull.vertices                      # indices of hull vertices
+        remap = -np.ones(len(pts), np.int64)
+        remap[used] = np.arange(len(used))
+        verts = pts[used]
+        centroid = verts.mean(axis=0)
+        faces = []
+        for simplex, eq in zip(hull.simplices, hull.equations):
+            a, b, c = (remap[i] for i in simplex)
+            n = np.cross(verts[b] - verts[a], verts[c] - verts[a])
+            # orient outward using qhull's facet equation normal
+            if np.dot(n, eq[:3]) < 0.0:
+                b, c = c, b
+            faces.append((a, b, c))
+        return self.add_hull_geometry(verts, np.asarray(faces, np.int64))
+
     def add_hull_collider(self, owner, hull_id, position=(0, 0, 0),
                           rotation=(0, 0, 0, 1),
                           friction=1.0, restitution=0.2, density=1000.0):

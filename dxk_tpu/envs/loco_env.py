@@ -19,7 +19,7 @@ import numpy as np
 from flax import struct
 
 from dxk_tpu.core.maths import quat_conj, quat_mul, quat_rotate
-from dxk_tpu.models.ragdoll import BODY_PART_NAMES, add_ragdoll
+from dxk_tpu.models.ragdoll import add_ragdoll
 from dxk_tpu.physics import PhysicsSettings, apply_ray_impulse, physics_step
 from dxk_tpu.scene import SceneBuilder
 from dxk_tpu.scene.scene import Scene, State

@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from dxk_tpu.core.maths import clamp01, cross, dot, squared_length
+from dxk_tpu.core.maths import clamp01, dot, squared_length
 
 
 def closest_point_point_segment(q, a, b):

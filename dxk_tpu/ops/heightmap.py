@@ -32,7 +32,7 @@ import numpy as np
 from flax import struct
 
 from dxk_tpu.core.maths import cross, dot, normalize, quat_inv_rotate, quat_rotate, squared_length
-from dxk_tpu.ops.geometry import closest_point_point_segment, closest_point_segment_segment
+from dxk_tpu.ops.geometry import closest_point_segment_segment
 
 
 @struct.dataclass

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from dxk_tpu.core.maths import cross, dot, quat_inv_rotate, squared_length
+from dxk_tpu.core.maths import dot, quat_inv_rotate, squared_length
 
 _INF = 3.4e38
 

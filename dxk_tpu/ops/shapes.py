@@ -16,7 +16,7 @@ from flax import struct
 from dxk_tpu.core.maths import quat_mul, quat_rotate
 from dxk_tpu.ops.tpu_gather import gather_rows
 from dxk_tpu.scene.scene import (SHAPE_BOX, SHAPE_CAPSULE, SHAPE_CYLINDER,
-                                 SHAPE_HULL, SHAPE_SPHERE, Colliders, Scene)
+                                 SHAPE_SPHERE, Scene)
 
 
 @struct.dataclass

@@ -28,7 +28,7 @@ Betas and thresholds are the reference's (constraints.cpp:9-17).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -41,7 +41,7 @@ from dxk_tpu.core.maths import (cross, dot, get_tangents, length, noz,
 from dxk_tpu.ops.integrator import SolverBodies
 from dxk_tpu.ops.tpu_gather import (gather_rows, onehot_gather,
                                     onehot_gather_1d, onehot_scatter_add)
-from dxk_tpu.scene.scene import MotorControls, Scene
+from dxk_tpu.scene.scene import MotorControls
 
 DISTANCE_BETA = 0.1
 BALL_BETA = 0.1

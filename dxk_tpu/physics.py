@@ -18,8 +18,7 @@ the reference's 16 OS processes, learning/util.py:30-37).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

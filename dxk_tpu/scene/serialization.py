@@ -13,7 +13,6 @@ omitting them would make reload lossy for articulated scenes.
 from __future__ import annotations
 
 import json
-from typing import Optional
 
 import numpy as np
 import jax

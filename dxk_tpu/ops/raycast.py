@@ -100,12 +100,31 @@ def ray_cylinder(o, d, pa, pb, radius):
     return t, t < _INF
 
 
-def ray_hull(o, d, pos, q, verts, vmask):
-    """Conservative: ray vs hull AABB (exact face test deferred; the poke
-    only needs an approximate hit point on the body)."""
+def ray_hull(o, d, pos, q, verts, vmask, face_normals=None,
+             face_offsets=None, face_mask=None):
+    """Ray vs convex hull. With face planes: exact slab test over the faces
+    (ray::intersectHull semantics); otherwise conservative AABB."""
     ol = quat_inv_rotate(q, o - pos)
     dl = quat_inv_rotate(q, d)
     big = 3.4e38
-    mn = jnp.min(jnp.where(vmask[..., None], verts, big), axis=-2)
-    mx = jnp.max(jnp.where(vmask[..., None], verts, -big), axis=-2)
-    return ray_aabb(ol, dl, mn, mx)
+    if face_normals is None:
+        mn = jnp.min(jnp.where(vmask[..., None], verts, big), axis=-2)
+        mx = jnp.max(jnp.where(vmask[..., None], verts, -big), axis=-2)
+        return ray_aabb(ol, dl, mn, mx)
+    # entry = max t over faces the ray enters; exit = min t over faces it
+    # leaves; hit if entry <= exit
+    nd = jnp.sum(face_normals * dl[..., None, :], axis=-1)       # (..., F)
+    no = jnp.sum(face_normals * ol[..., None, :], axis=-1) + face_offsets
+    t = -no / jnp.where(jnp.abs(nd) < 1e-12,
+                        jnp.where(nd >= 0, 1e-12, -1e-12), nd)
+    entering = nd < 0.0
+    t_in = jnp.where(face_mask & entering, t, -big)
+    t_out = jnp.where(face_mask & ~entering, t, big)
+    # parallel & outside a face plane -> miss
+    outside_parallel = jnp.any(face_mask & (jnp.abs(nd) < 1e-12) & (no > 0.0),
+                               axis=-1)
+    t_enter = jnp.max(t_in, axis=-1)
+    t_exit = jnp.min(t_out, axis=-1)
+    hit = (t_enter <= t_exit) & (t_exit >= 0.0) & ~outside_parallel
+    tt = jnp.where(t_enter >= 0.0, t_enter, t_exit)
+    return jnp.where(hit, tt, big), hit

@@ -314,7 +314,10 @@ def apply_ray_impulse(scene: Scene, state: State, origin, direction,
     if scene.hulls is not None:
         t_hull, _ = rc.ray_hull(o_l, d_l, c.a, c.rot,
                                 scene.hulls.vertices[c.hull_id],
-                                scene.hulls.vertex_mask[c.hull_id])
+                                scene.hulls.vertex_mask[c.hull_id],
+                                scene.hulls.face_normals[c.hull_id],
+                                scene.hulls.face_offsets[c.hull_id],
+                                scene.hulls.face_mask[c.hull_id])
     else:
         t_hull = jnp.full_like(t_sph, big)
 

@@ -54,7 +54,10 @@ def _hit_all_colliders(scene: Scene, w, origin, direction):
     if scene.hulls is not None:
         t_hull, _ = rc.ray_hull(o, d, w.a, w.rot,
                                 scene.hulls.vertices[w.hull_id],
-                                scene.hulls.vertex_mask[w.hull_id])
+                                scene.hulls.vertex_mask[w.hull_id],
+                                scene.hulls.face_normals[w.hull_id],
+                                scene.hulls.face_offsets[w.hull_id],
+                                scene.hulls.face_mask[w.hull_id])
     else:
         t_hull = jnp.full_like(t_sph, _INF)
 

@@ -139,6 +139,7 @@ class SceneBuilder:
         self._joints: List[_Joint] = []
         self._hull_geoms: List[np.ndarray] = []       # vertex arrays
         self._hull_props: List[tuple] = []            # (mass/density, cog, inertia/density)
+        self._hull_faces: List[tuple] = []            # (normals (F,3), offsets (F,))
         self._force_fields: List[dict] = []
         self._num_triggers = 0
         self._cloth: Optional[dict] = None
@@ -234,6 +235,13 @@ class SceneBuilder:
         inertia_per_density = np.eye(3) * np.trace(Cp) - Cp
         self._hull_geoms.append(vertices)
         self._hull_props.append((total_mass, total_cog, inertia_per_density))
+        # face planes for exact ray casts
+        fa = np.asarray(faces, np.int64)
+        n = np.cross(vertices[fa[:, 1]] - vertices[fa[:, 0]],
+                     vertices[fa[:, 2]] - vertices[fa[:, 0]])
+        n = n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+        d = -np.sum(n * vertices[fa[:, 0]], axis=-1)
+        self._hull_faces.append((n, d))
         return len(self._hull_geoms) - 1
 
     def add_hull_geometry_from_mesh(self, vertices: np.ndarray) -> int:
@@ -688,8 +696,19 @@ class SceneBuilder:
                 verts[i, :len(v)] = v
                 verts[i, len(v):] = v[0]
                 mask[i, :len(v)] = True
+            fmax = max(len(n) for n, _ in self._hull_faces)
+            fnorm = np.zeros((H, fmax, 3))
+            foff = np.zeros((H, fmax))
+            fmask = np.zeros((H, fmax), bool)
+            for i, (n, d) in enumerate(self._hull_faces):
+                fnorm[i, :len(n)] = n
+                foff[i, :len(n)] = d
+                fmask[i, :len(n)] = True
             hulls = HullGeometry(vertices=jnp.asarray(verts.astype(dtype)),
-                                 vertex_mask=jnp.asarray(mask))
+                                 vertex_mask=jnp.asarray(mask),
+                                 face_normals=jnp.asarray(fnorm.astype(dtype)),
+                                 face_offsets=jnp.asarray(foff.astype(dtype)),
+                                 face_mask=jnp.asarray(fmask))
 
         # --- cloth -----------------------------------------------------------
         cloth = None

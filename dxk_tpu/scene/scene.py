@@ -72,10 +72,15 @@ class Colliders:
 @struct.dataclass
 class HullGeometry:
     """Padded convex hull vertex/face soup shared by hull colliders
-    (reference bounding_hull_geometry, bounding_volumes.h:208-218)."""
+    (reference bounding_hull_geometry, bounding_volumes.h:208-218). Face
+    planes (outward normals + offsets) serve exact ray casts
+    (ray::intersectHull)."""
 
     vertices: jnp.ndarray    # (H, Vmax, 3) f32, padded with first vertex
     vertex_mask: jnp.ndarray  # (H, Vmax) bool
+    face_normals: jnp.ndarray = None   # (H, Fmax, 3) outward unit normals
+    face_offsets: jnp.ndarray = None   # (H, Fmax) plane d: n.x + d = 0 form
+    face_mask: jnp.ndarray = None      # (H, Fmax) bool
 
 
 @struct.dataclass

@@ -73,3 +73,28 @@ class TestHullGeometry:
         # center between a face-down (~0.29) and vertex-down (0.5) height
         assert 0.2 < p[1] < 0.6, p
         assert float(jnp.linalg.norm(state.lin_vel[body])) < 0.2
+
+
+def test_ray_hull_exact():
+    """Exact ray-vs-hull (face plane slab): octahedron |x|+|y|+|z| <= 0.5."""
+    from dxk_tpu.ops.raycast import ray_hull
+    b = SceneBuilder()
+    octa = np.array([[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0],
+                     [0, 0, 1], [0, 0, -1]], np.float64) * 0.5
+    hid = b.add_hull_geometry_from_mesh(octa)
+    body = b.add_body()
+    b.add_hull_collider(body, hid)
+    scene = b.finalize()
+    h = scene.hulls
+    idq = jnp.array([0.0, 0, 0, 1.0])
+    o = jnp.array([2.0, 0.0, 0.0])
+    d = jnp.array([-1.0, 0.0, 0.0])
+    t, hit = ray_hull(o, d, jnp.zeros(3), idq, h.vertices[0], h.vertex_mask[0],
+                      h.face_normals[0], h.face_offsets[0], h.face_mask[0])
+    assert bool(hit) and abs(float(t) - 1.5) < 1e-4   # hits vertex at x=0.5
+    # ray that misses the octahedron corner but would hit its AABB
+    o2 = jnp.array([2.0, 0.4, 0.4])
+    t2, hit2 = ray_hull(o2, d, jnp.zeros(3), idq, h.vertices[0],
+                        h.vertex_mask[0], h.face_normals[0],
+                        h.face_offsets[0], h.face_mask[0])
+    assert not bool(hit2)

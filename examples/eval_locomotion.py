@@ -1,0 +1,49 @@
+"""Evaluate a trained locomotion checkpoint against the zero-action
+baseline: mean reward and survival time under random pokes (the reference's
+qualitative evaluation is watching the ragdoll; here it's measured).
+
+Run:  python examples/eval_locomotion.py   (after train_locomotion.py)
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import jax, jax.numpy as jnp, numpy as np
+from dxk_tpu.envs.loco_env import LocoEnv
+from dxk_tpu.models.policy import ActorCritic
+from dxk_tpu.utils.checkpoint import Checkpointer
+
+env = LocoEnv(solver_iterations=20, solver_mode="jacobi",
+              narrow_caps={(1,1): 24, (1,3): 20, (3,3): 3})
+net = ActorCritic(action_dim=27)
+ckpt = Checkpointer(sys.argv[1] if len(sys.argv) > 1 else "/tmp/dxk_loco_ckpt")
+tmpl = net.init(jax.random.PRNGKey(0), jnp.zeros((66,)))
+params = ckpt.restore(template=tmpl)
+print("loaded checkpoint step", ckpt.latest_step)
+
+N, T = 256, 600   # 10 seconds per episode
+keys = jax.random.split(jax.random.PRNGKey(1), N)
+st, obs = jax.jit(jax.vmap(env.reset))(keys)
+
+def rollout(st, obs, use_policy):
+    def body(carry, _):
+        st, obs, alive = carry
+        if use_policy:
+            mean, _, _ = net.apply(params, obs)
+            act = mean
+        else:
+            act = jnp.zeros((N, 27))
+        st, obs, r, done = jax.vmap(env.step)(st, act)
+        alive = alive & ~done
+        return (st, obs, alive), (r, alive)
+    (_, _, alive), (rs, alives) = jax.lax.scan(body, (st, obs, jnp.ones(N, bool)), None, length=T)
+    return rs, alives
+
+for name, use in [("trained policy", True), ("zero action", False)]:
+    rs, alives = jax.jit(lambda s, o, u=use: rollout(s, o, u))(st, obs)
+    # episode stats up to first fall
+    surv = np.asarray(alives).sum(0) / 60.0   # seconds survived (of 10)
+    print(f"{name}: mean reward/step={float(rs.mean()):.3f} "
+          f"mean survival={surv.mean():.2f}s / 10s  "
+          f"episodes surviving full 10s: {(surv >= 9.99).mean()*100:.0f}%")

@@ -203,6 +203,14 @@ def physics_step(scene: Scene, state: State, settings: PhysicsSettings,
         pts, nrm, dps, body_a, body_b, fric, rest, cmask = (
             tuple(jnp.concatenate([p[i] for p in parts]) for i in range(8)))
         total_contacts = jnp.sum(cmask.astype(jnp.int32))
+        # Point invalid slots at the dummy static body: masked rows produce
+        # zero impulses, but their body indices would still inflate the
+        # per-body degree in the jacobi/colored averaging (1/degree), which
+        # collapses the effective impulse once candidate pairs >> hits
+        # (e.g. 300 boxes on a plane sink at near-gravity rate).
+        dummy = jnp.int32(scene.num_bodies)
+        body_a = jnp.where(cmask, body_a, dummy)
+        body_b = jnp.where(cmask, body_b, dummy)
         prepped_contacts = prep_contacts(
             bodies, body_a, body_b, pts, nrm, dps, fric, rest,
             cmask.astype(pts.dtype), dt)

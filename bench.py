@@ -54,13 +54,17 @@ def bench_loco(num_envs, steps, iters_timed, solver_mode, solver_iterations):
     _sync(st2.physics.pos)
     compile_s = time.time() - t_c0
 
-    t0 = time.time()
-    for _ in range(iters_timed):
-        st, r = run(st, actions)
-    _sync(st.physics.pos)
-    dt = time.time() - t0
+    # best of 3 windows: single-window numbers jitter ~5% through the
+    # tunnel; peak throughput is the stable quantity
+    best_dt = float("inf")
+    for _w in range(3):
+        t0 = time.time()
+        for _ in range(iters_timed):
+            st, r = run(st, actions)
+        _sync(st.physics.pos)
+        best_dt = min(best_dt, time.time() - t0)
     total_env_steps = num_envs * steps * iters_timed
-    return total_env_steps / dt, compile_s
+    return total_env_steps / best_dt, compile_s
 
 
 def bench_box_stack(num_boxes, batch, steps, iters_timed, solver_iterations,
@@ -106,13 +110,15 @@ def bench_box_stack(num_boxes, batch, steps, iters_timed, solver_iterations,
     _sync(s2.pos)
     compile_s = time.time() - t_c0
 
-    t0 = time.time()
-    for _ in range(iters_timed):
-        state = run(state)
-    _sync(state.pos)
-    dt = time.time() - t0
+    best_dt = float("inf")
+    for _w in range(3):
+        t0 = time.time()
+        for _ in range(iters_timed):
+            state = run(state)
+        _sync(state.pos)
+        best_dt = min(best_dt, time.time() - t0)
     body_steps = n * batch * steps * iters_timed
-    return body_steps / dt, compile_s
+    return body_steps / best_dt, compile_s
 
 
 def main():

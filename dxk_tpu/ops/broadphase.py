@@ -18,6 +18,8 @@ replace the masked test later without changing this interface.
 
 from __future__ import annotations
 
+import jax
+import jax.lax
 import jax.numpy as jnp
 
 from dxk_tpu.ops.tpu_gather import gather_rows
@@ -64,7 +66,3 @@ def compact_pairs(pairs, mask, k):
     sel_mask = mask[sel]
     dropped = jnp.maximum(jnp.sum(mask.astype(jnp.int32)) - k, 0)
     return pairs[sel], sel_mask, dropped
-
-
-import jax.lax  # noqa: E402  (used above)
-import jax  # noqa: E402

@@ -591,7 +591,6 @@ def cylinder_cylinder_contact(aa, ab, ar, ba, bb, br):
     cap_first = cap_pen < pen
     b_right = b0 > 0.0
     cap_normal = jnp.where(b_right, a_dir, -a_dir)
-    cap_point = jnp.where(b_right, ab - cap_pen[..., None] * 0.5 * a_dir * 0.0 - 0.5 * cap_pen[..., None] * jnp.ones_like(a_dir) * 0.0 + ab, aa)  # placeholder, fixed below
     # reference: point = a.positionB - capPenetration*0.5 (componentwise
     # subtraction of a scalar — a quirk; we subtract along the axis instead)
     cap_point = jnp.where(b_right, ab - 0.5 * cap_pen[..., None] * a_dir,

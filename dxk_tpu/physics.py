@@ -264,8 +264,6 @@ def _overlap_interactions(scene: Scene, w, mn, mx):
 
     # exact overlap per type bucket, scattered back to the flat pair order
     overlap = jnp.zeros((pairs.shape[0],), bool)
-    offset_map = {}
-    flat = [tuple(p) for p in np.asarray_if_possible(pairs)] if False else None
     # map each bucket row back to its index in scene.overlap_pairs
     import numpy as _np
     flat_pairs = _np.asarray(scene.overlap_pairs)

@@ -42,15 +42,27 @@ class Checkpointer:
 
 class BestModelTracker:
     """Save-on-new-best semantics (learn_locomotion.py:33-55): track the
-    mean episode reward and save when it improves."""
+    mean episode reward and save when it improves. The best reward is
+    persisted to a sidecar file so a resumed run (--resume) does not
+    checkpoint its first, possibly worse, iteration as 'best'."""
 
     def __init__(self, ckpt: Checkpointer):
         self.ckpt = ckpt
+        self._sidecar = os.path.join(ckpt.directory, "best_reward.txt")
         self.best = -float("inf")
+        if os.path.exists(self._sidecar):
+            try:
+                with open(self._sidecar) as f:
+                    self.best = float(f.read().strip())
+            except (ValueError, OSError):
+                pass
 
     def update(self, step: int, mean_reward: float, state: Any) -> bool:
         if mean_reward > self.best:
             self.best = mean_reward
             self.ckpt.save(step, state)
+            os.makedirs(self.ckpt.directory, exist_ok=True)
+            with open(self._sidecar, "w") as f:
+                f.write(repr(float(mean_reward)))
             return True
         return False

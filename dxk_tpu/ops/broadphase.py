@@ -53,6 +53,58 @@ def aabb_overlap_mask(aabb_min, aabb_max, pairs):
     return ~no
 
 
+def kselect_group_pairs(scene, aabb_min, aabb_max):
+    """Fused-broadphase path: one K-select kernel pass over all colliders
+    (ops/pallas/kselect_broadphase.py), then per pair-group compaction of
+    the ~C*K candidates (instead of masking O(C^2) static tables). Returns
+    ({group_index: (pairs (cap,2), mask (cap,), dropped ())},
+     num_overlaps (), num_dropped_rows ()).
+
+    Replaces the reference's sort-and-sweep (collision_broad.cpp:87-295)
+    for large single scenes; enable via SceneBuilder.finalize(
+    broadphase='kselect')."""
+    from dxk_tpu.ops.pallas.kselect_broadphase import (class_of,
+                                                       kselect_broadphase)
+    c = scene.colliders
+    idx, cls, hits = kselect_broadphase(
+        aabb_min, aabb_max, c.body, c.owner_type, c.ctype,
+        num_phases=scene.num_contact_phases, k_sel=scene.broadphase_k)
+    C, K = idx.shape
+    n = C * K
+    flat_cls = cls.reshape(-1)
+    flat_j = idx.reshape(-1)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    num_overlaps = jnp.sum(hits)
+    row_dropped = jnp.sum(jnp.maximum(hits - K, 0))
+
+    out = {}
+    for gi, group in enumerate(scene.pair_groups):
+        p = scene.num_contact_phases
+        cls0 = class_of(group.type_a, group.type_b, group.phase, 0, p)
+        cls1 = class_of(group.type_a, group.type_b, group.phase, 1, p)
+        is_g = (flat_cls == cls0) | (flat_cls == cls1)
+        cap = min(group.max_narrow, n)
+        score = jnp.where(is_g, n - pos, -pos)
+        _, sel = jax.lax.top_k(score, cap)
+        mask = is_g[sel]
+        i = sel // K
+        j = flat_j[sel]
+        swapped = flat_cls[sel] == cls1
+        a = jnp.where(swapped, j, i)
+        b = jnp.where(swapped, i, j)
+        if group.type_a == group.type_b:
+            # same-type pairs: the baked-table convention is lower collider
+            # index first (static-dynamic pairs live in the dynamic row in
+            # the kernel, which can invert it)
+            a, b = jnp.minimum(a, b), jnp.maximum(a, b)
+        # dead slots point at collider 0 (masked downstream)
+        a = jnp.where(mask, a, 0)
+        b = jnp.where(mask, b, 0)
+        dropped = jnp.maximum(jnp.sum(is_g.astype(jnp.int32)) - cap, 0)
+        out[gi] = (jnp.stack([a, b], axis=-1), mask, dropped)
+    return out, num_overlaps, row_dropped
+
+
 def compact_pairs(pairs, mask, k):
     """Select up to `k` overlapping pairs (deterministically: lowest pair
     index first). Returns (sel_pairs (k,2), sel_mask (k,), num_dropped ())."""

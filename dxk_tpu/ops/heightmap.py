@@ -349,8 +349,7 @@ def heightfield_contacts(hf: Heightfield, w, body_of, aabb_min, aabb_max,
     fric = jnp.clip(jnp.sqrt(w.friction * hf.friction), 0.0, 1.0)
     rest = jnp.clip(jnp.maximum(w.restitution, hf.restitution), 0.0, 1.0)
 
-    flat = lambda x: x.reshape((-1,) + x.shape[2:])
-    rep = lambda x: jnp.repeat(x, 4)
-    return (flat(pts), flat(nrm), flat(dep), rep(body_of),
-            jnp.full((C * 4,), num_bodies, jnp.int32), rep(fric), rep(rest),
-            flat(hit))
+    # pair-major manifolds: one 4-point row per collider vs the static dummy
+    body_a = jnp.where(hit.any(axis=1), body_of, num_bodies).astype(jnp.int32)
+    body_b = jnp.full((C,), num_bodies, jnp.int32)
+    return pts, nrm, dep, body_a, body_b, fric, rest, hit

@@ -74,103 +74,169 @@ def _point_inv_effective_mass(inv_ia, inv_ib, inv_ma, inv_mb, ra, rb):
 
 # ===========================================================================
 # Contacts (constraints.cpp:3307-3449)
+#
+# TPU layout: pair-major manifolds. A narrowphase pair contributes ONE solver
+# row carrying its <=4 contact points; the points are solved sequentially
+# within the row (the reference's in-order traversal of a pair's contacts),
+# while body velocities are gathered/scattered once per pair instead of once
+# per point — 4x less MXU gather traffic, and strictly better Gauss-Seidel
+# behavior than treating the 4 points as independent (conflicting) rows.
 
 
 @struct.dataclass
 class ContactPrep:
-    body_a: jnp.ndarray
-    body_b: jnp.ndarray
-    rel_a: jnp.ndarray
-    rel_b: jnp.ndarray
-    normal: jnp.ndarray
-    tangent: jnp.ndarray
-    eff_mass_n: jnp.ndarray
-    eff_mass_t: jnp.ndarray
-    bias: jnp.ndarray
-    friction: jnp.ndarray
-    n_to_wa: jnp.ndarray   # normalImpulseToAngularVelocityA
+    """Per-pair manifold prep. P pairs x up to 4 points. `phase_sizes` are
+    static, contiguous slice sizes over the pair axis: pairs in different
+    phases never share a dynamic body when the scene was built with
+    contact phases (builder contact_phases=K), so a phased pass is
+    conflict-free Gauss-Seidel; residual conflicts (hash collisions,
+    heightfield blocks) are degree-averaged within the phase.
+
+    Layout note: a component-major (comp, P) variant was tried and reverted
+    — XLA's per-op overhead on the ~3x larger op graph cost far more than
+    the lane-utilization win (908 eqns/pass, 16 s compiles, >100 ms/pass on
+    CPU). Component-major layouts belong inside Pallas kernels (core/soa.py)
+    where ops fuse for free."""
+
+    body_a: jnp.ndarray        # (P,)
+    body_b: jnp.ndarray        # (P,)
+    inv_ma: jnp.ndarray        # (P,)
+    inv_mb: jnp.ndarray        # (P,)
+    rel_a: jnp.ndarray         # (P, 4, 3)
+    rel_b: jnp.ndarray         # (P, 4, 3)
+    normal: jnp.ndarray        # (P, 4, 3)
+    tangent: jnp.ndarray       # (P, 4, 3)
+    eff_mass_n: jnp.ndarray    # (P, 4)
+    eff_mass_t: jnp.ndarray    # (P, 4)
+    bias: jnp.ndarray          # (P, 4)
+    friction: jnp.ndarray      # (P, 4)
+    n_to_wa: jnp.ndarray       # (P, 4, 3) normalImpulseToAngularVelocityA
     n_to_wb: jnp.ndarray
     t_to_wa: jnp.ndarray
     t_to_wb: jnp.ndarray
+    phase_sizes: tuple = struct.field(pytree_node=False, default=())
 
 
 def prep_contacts(bodies: SolverBodies, body_a, body_b, point, normal, depth,
-                  friction, restitution, mask, dt) -> ContactPrep:
+                  friction, restitution, mask, dt,
+                  phase_sizes=()) -> ContactPrep:
+    """body_a/body_b/friction/restitution: (P,); point/normal: (P, 4, 3);
+    depth/mask: (P, 4). Masked points get zero effective mass (zero
+    impulses); fully dead pairs should already point at the dummy body so
+    they don't inflate per-body degrees."""
     inv_dt = 1.0 / dt
     pa = gather_rows(bodies.pos_cog, body_a)
     pb = gather_rows(bodies.pos_cog, body_b)
-    rel_a = point - pa
-    rel_b = point - pb
+    rel_a = point - pa[:, None, :]
+    rel_b = point - pb[:, None, :]
 
-    va = gather_rows(bodies.v, body_a) + cross(gather_rows(bodies.w, body_a), rel_a)
-    vb = gather_rows(bodies.v, body_b) + cross(gather_rows(bodies.w, body_b), rel_b)
+    bva = gather_rows(bodies.v, body_a)[:, None, :]
+    bwa = gather_rows(bodies.w, body_a)[:, None, :]
+    bvb = gather_rows(bodies.v, body_b)[:, None, :]
+    bwb = gather_rows(bodies.w, body_b)[:, None, :]
+    va = bva + cross(bwa, rel_a)
+    vb = bvb + cross(bwb, rel_b)
     rel_v = vb - va
     tangent = noz(rel_v - dot(normal, rel_v)[..., None] * normal)
 
-    inv_ia = gather_rows(bodies.inv_inertia, body_a)
-    inv_ib = gather_rows(bodies.inv_inertia, body_b)
+    inv_ia = gather_rows(bodies.inv_inertia, body_a)[:, None]
+    inv_ib = gather_rows(bodies.inv_inertia, body_b)[:, None]
     inv_ma = onehot_gather_1d(bodies.inv_mass, body_a)
     inv_mb = onehot_gather_1d(bodies.inv_mass, body_b)
+    inv_m_sum = (inv_ma + inv_mb)[:, None]
 
     cr_at = cross(rel_a, tangent)
     cr_bt = cross(rel_b, tangent)
-    im_t = (inv_ma + dot(cr_at, _mat_vec(inv_ia, cr_at))
-            + inv_mb + dot(cr_bt, _mat_vec(inv_ib, cr_bt)))
+    im_t = (inv_m_sum + dot(cr_at, _mat_vec(inv_ia, cr_at))
+            + dot(cr_bt, _mat_vec(inv_ib, cr_bt)))
     eff_t = _inv_or_zero(im_t) * mask
 
     cr_an = cross(rel_a, normal)
     cr_bn = cross(rel_b, normal)
-    im_n = (inv_ma + dot(cr_an, _mat_vec(inv_ia, cr_an))
-            + inv_mb + dot(cr_bn, _mat_vec(inv_ib, cr_bn)))
+    im_n = (inv_m_sum + dot(cr_an, _mat_vec(inv_ia, cr_an))
+            + dot(cr_bn, _mat_vec(inv_ib, cr_bn)))
     eff_n = _inv_or_zero(im_n) * mask
 
     # restitution + Baumgarte bias with slop (constraints.cpp:3355-3366)
     v_rel_n = dot(normal, rel_v)
     slop = -0.001
     active = (-depth < slop) & (v_rel_n < 0.0)
-    bias = jnp.where(active, -restitution * v_rel_n
+    bias = jnp.where(active, -restitution[:, None] * v_rel_n
                      - 0.1 * (-depth - slop) * inv_dt, 0.0)
     bias = jnp.where(dt > DT_THRESHOLD, bias, 0.0)
 
     return ContactPrep(
-        body_a=body_a, body_b=body_b, rel_a=rel_a, rel_b=rel_b,
+        body_a=body_a, body_b=body_b, inv_ma=inv_ma, inv_mb=inv_mb,
+        rel_a=rel_a, rel_b=rel_b,
         normal=normal, tangent=tangent, eff_mass_n=eff_n, eff_mass_t=eff_t,
-        bias=bias, friction=friction * mask,
+        bias=bias, friction=friction[:, None] * mask,
         n_to_wa=_mat_vec(inv_ia, cr_an), n_to_wb=_mat_vec(inv_ib, cr_bn),
-        t_to_wa=_mat_vec(inv_ia, cr_at), t_to_wb=_mat_vec(inv_ib, cr_bt))
+        t_to_wa=_mat_vec(inv_ia, cr_at), t_to_wb=_mat_vec(inv_ib, cr_bt),
+        phase_sizes=tuple(phase_sizes))
 
 
-def _contact_solve_one(c, inv_ma, inv_mb, va, wa, vb, wb, imp_n, imp_t):
-    """One contact: friction then normal (constraints.cpp:3404-3442)."""
+def _contact_solve_point(ck, inv_ma, inv_mb, va, wa, vb, wb, imp_n, imp_t):
+    """One contact point: friction then normal (constraints.cpp:3404-3442).
+    `ck` holds the point's fields with the point axis already selected."""
     # tangent
-    av = va + cross(wa, c.rel_a)
-    bv = vb + cross(wb, c.rel_b)
-    vt = dot(bv - av, c.tangent)
-    lam = -c.eff_mass_t * vt
-    max_f = c.friction * imp_n
+    av = va + cross(wa, ck.rel_a)
+    bv = vb + cross(wb, ck.rel_b)
+    vt = dot(bv - av, ck.tangent)
+    lam = -ck.eff_mass_t * vt
+    max_f = ck.friction * imp_n
     new_imp = jnp.clip(imp_t + lam, -max_f, max_f)
     lam = new_imp - imp_t
     imp_t = new_imp
-    P = lam[..., None] * c.tangent
+    P = lam[..., None] * ck.tangent
     va = va - inv_ma[..., None] * P
-    wa = wa - c.t_to_wa * lam[..., None]
+    wa = wa - ck.t_to_wa * lam[..., None]
     vb = vb + inv_mb[..., None] * P
-    wb = wb + c.t_to_wb * lam[..., None]
+    wb = wb + ck.t_to_wb * lam[..., None]
 
     # normal
-    av = va + cross(wa, c.rel_a)
-    bv = vb + cross(wb, c.rel_b)
-    vn = dot(bv - av, c.normal)
-    lam = -c.eff_mass_n * (vn - c.bias)
+    av = va + cross(wa, ck.rel_a)
+    bv = vb + cross(wb, ck.rel_b)
+    vn = dot(bv - av, ck.normal)
+    lam = -ck.eff_mass_n * (vn - ck.bias)
     new_imp = jnp.maximum(imp_n + lam, 0.0)
     lam = new_imp - imp_n
     imp_n = new_imp
-    P = lam[..., None] * c.normal
+    P = lam[..., None] * ck.normal
     va = va - inv_ma[..., None] * P
-    wa = wa - c.n_to_wa * lam[..., None]
+    wa = wa - ck.n_to_wa * lam[..., None]
     vb = vb + inv_mb[..., None] * P
-    wb = wb + c.n_to_wb * lam[..., None]
+    wb = wb + ck.n_to_wb * lam[..., None]
     return va, wa, vb, wb, imp_n, imp_t
+
+
+class _PointView:
+    """Point-k view over pair-major ContactPrep fields."""
+
+    __slots__ = ("rel_a", "rel_b", "normal", "tangent", "eff_mass_n",
+                 "eff_mass_t", "bias", "friction", "n_to_wa", "n_to_wb",
+                 "t_to_wa", "t_to_wb")
+
+    def __init__(self, c, k):
+        for f in self.__slots__:
+            self.__setattr__(f, getattr(c, f)[..., k, :]
+                             if getattr(c, f).ndim > c.bias.ndim
+                             else getattr(c, f)[..., k])
+
+
+def _contact_solve_one(c, inv_ma, inv_mb, va, wa, vb, wb, imp_n, imp_t):
+    """One pair: its <=4 points solved in order against the pair's gathered
+    velocities (the reference's per-contact traversal, constraints.cpp:3404).
+    imp_n/imp_t: (..., 4)."""
+    imp_n_out = []
+    imp_t_out = []
+    for k in range(c.bias.shape[-1]):
+        va, wa, vb, wb, ik_n, ik_t = _contact_solve_point(
+            _PointView(c, k), inv_ma, inv_mb, va, wa, vb, wb,
+            imp_n[..., k], imp_t[..., k])
+        imp_n_out.append(ik_n)
+        imp_t_out.append(ik_t)
+    return (va, wa, vb, wb, jnp.stack(imp_n_out, -1),
+            jnp.stack(imp_t_out, -1))
 
 
 # ===========================================================================
@@ -913,7 +979,7 @@ def _gs_pass(prep, solve_fn, n_acc, v, w, inv_mass, inv_inertia, accs):
 
 
 def _jacobi_pass(prep, solve_fn, v, w, inv_mass, inv_inertia, accs,
-                 omega=1.0, phase_mask=None):
+                 omega=1.0):
     """Averaged-Jacobi over one constraint type: all constraints solve in
     parallel against the same body velocities; per-body deltas are averaged
     by constraint degree (mass-splitting). The whole-array analog of the
@@ -925,7 +991,7 @@ def _jacobi_pass(prep, solve_fn, v, w, inv_mass, inv_inertia, accs,
 
     a, b = prep.body_a, prep.body_b
     args = [prep, onehot_gather_1d(inv_mass, a), onehot_gather_1d(inv_mass, b)]
-    if solve_fn is not _contact_solve_one and solve_fn is not _distance_solve_one:
+    if solve_fn is not _distance_solve_one:
         args += [gather_rows(inv_inertia, a), gather_rows(inv_inertia, b)]
     va, wa = gather_rows(v, a), gather_rows(w, a)
     vb, wb = gather_rows(v, b), gather_rows(w, b)
@@ -933,21 +999,10 @@ def _jacobi_pass(prep, solve_fn, v, w, inv_mass, inv_inertia, accs,
     args += list(accs)
     out = solve_fn(*args)
     nva, nwa, nvb, nwb = out[:4]
-    if phase_mask is not None:
-        mf = phase_mask[:, None].astype(v.dtype)
-        nva = va + (nva - va) * mf
-        nvb = vb + (nvb - vb) * mf
-        nwa = wa + (nwa - wa) * mf
-        nwb = wb + (nwb - wb) * mf
-        new_accs = tuple(jnp.where(phase_mask, n_, o_)
-                         for n_, o_ in zip(out[4:], accs))
-    else:
-        new_accs = tuple(out[4:])
+    new_accs = tuple(out[4:])
 
     n = v.shape[0]
     ones = jnp.ones((count, 1), jnp.float32)
-    if phase_mask is not None:
-        ones = ones * phase_mask[:, None].astype(jnp.float32)
     deg = onehot_scatter_add(jnp.zeros((n, 1), jnp.float32), a, ones)
     deg = onehot_scatter_add(deg, b, ones)[:, 0]
     inv_deg = 1.0 / jnp.maximum(deg, 1.0)
@@ -962,6 +1017,95 @@ def _jacobi_pass(prep, solve_fn, v, w, inv_mass, inv_inertia, accs,
     v = v + dv * (omega * inv_deg)[:, None]
     w = w + dw * (omega * inv_deg)[:, None]
     return v, w, new_accs
+
+
+def _phase_slices(prep):
+    """Static (start, size) slices over the pair axis; a single full slice
+    when the scene was built without contact phases."""
+    sizes = prep.phase_sizes or (prep.body_a.shape[0],)
+    starts, s = [], 0
+    for sz in sizes:
+        starts.append(s)
+        s += sz
+    return tuple(zip(starts, sizes))
+
+
+def contact_phase_inv_degrees(prep: ContactPrep, num_rows: int):
+    """1/degree per body per phase slice, where degree counts the pairs of
+    that slice touching the body. Constant across solver iterations —
+    computed once per step and closed over by the iteration scan. Dead pairs
+    must already point at the dummy row (which is never read back)."""
+    out = []
+    for st, size in _phase_slices(prep):
+        a = jax.lax.dynamic_slice_in_dim(prep.body_a, st, size)
+        b = jax.lax.dynamic_slice_in_dim(prep.body_b, st, size)
+        ones = jnp.ones((size, 1), jnp.float32)
+        deg = onehot_scatter_add(jnp.zeros((num_rows, 1), jnp.float32), a, ones)
+        deg = onehot_scatter_add(deg, b, ones)[:, 0]
+        out.append(1.0 / jnp.maximum(deg, 1.0))
+    return tuple(out)
+
+
+def _contact_phased_pass(prep: ContactPrep, v, w, accs, inv_deg_phases,
+                         omega=1.0):
+    """One solver iteration over pair-major contacts: static phase slices
+    run sequentially (Gauss-Seidel across phases); within a slice all pairs
+    solve in parallel against the same velocities and per-body deltas are
+    degree-averaged. Scenes built with contact_phases=K hash pairs so that
+    a slice is (near-)conflict-free: degrees are 1 and the pass is exact
+    sequential-impulse Gauss-Seidel, with no sequential inner loop.
+
+    Velocities are carried as one fused (N, 6) [v|w] array so each side costs
+    one gather + one scatter matmul per slice."""
+    imp_n, imp_t = accs                                   # (P, 4)
+    vw = jnp.concatenate([v, w], axis=-1)
+    for si, (st, size) in enumerate(_phase_slices(prep)):
+        if size == 0:
+            continue
+        c = jax.tree_util.tree_map(
+            lambda x: jax.lax.dynamic_slice_in_dim(x, st, size), prep)
+        a, b = c.body_a, c.body_b
+        ga = gather_rows(vw, a)
+        gb = gather_rows(vw, b)
+        va, wa = ga[:, :3], ga[:, 3:]
+        vb, wb = gb[:, :3], gb[:, 3:]
+        nva, nwa, nvb, nwb, ni, nt = _contact_solve_one(
+            c, c.inv_ma, c.inv_mb, va, wa, vb, wb,
+            jax.lax.dynamic_slice_in_dim(imp_n, st, size),
+            jax.lax.dynamic_slice_in_dim(imp_t, st, size))
+        imp_n = jax.lax.dynamic_update_slice_in_dim(imp_n, ni, st, 0)
+        imp_t = jax.lax.dynamic_update_slice_in_dim(imp_t, nt, st, 0)
+        da = jnp.concatenate([nva - va, nwa - wa], -1)
+        db = jnp.concatenate([nvb - vb, nwb - wb], -1)
+        delta = onehot_scatter_add(jnp.zeros_like(vw), a, da)
+        delta = onehot_scatter_add(delta, b, db)
+        vw = vw + delta * (omega * inv_deg_phases[si])[:, None]
+    return vw[:, :3], vw[:, 3:], (imp_n, imp_t)
+
+
+def _contact_gs_pass(prep: ContactPrep, v, w, accs):
+    """Reference-exact sequential impulses over contacts: lax.scan over
+    pairs in order, each pair's <=4 points solved in order — the scalar
+    path of constraints.cpp:3381-3448."""
+    count = prep.body_a.shape[0]
+    if count == 0:
+        return v, w, accs
+    imp_n, imp_t = accs
+
+    def body(carry, i):
+        v, w, imp_n, imp_t = carry
+        c = jax.tree_util.tree_map(lambda x: x[i], prep)
+        a, b = c.body_a, c.body_b
+        nva, nwa, nvb, nwb, ni, nt = _contact_solve_one(
+            c, c.inv_ma, c.inv_mb, v[a], w[a], v[b], w[b],
+            imp_n[i], imp_t[i])
+        v = v.at[a].set(nva).at[b].set(nvb)
+        w = w.at[a].set(nwa).at[b].set(nwb)
+        return (v, w, imp_n.at[i].set(ni), imp_t.at[i].set(nt)), None
+
+    (v, w, imp_n, imp_t), _ = jax.lax.scan(
+        body, (v, w, imp_n, imp_t), jnp.arange(count))
+    return v, w, (imp_n, imp_t)
 
 
 def _colored_pass(prep, solve_fn, v, w, inv_mass, inv_inertia, accs):
@@ -1003,26 +1147,34 @@ def _colored_pass(prep, solve_fn, v, w, inv_mass, inv_inertia, accs):
 
 def solve_constraints(bodies: SolverBodies, prepped: Prepped,
                       num_iterations: int, mode: str = "scan",
-                      omega: float = 1.0) -> SolverBodies:
+                      omega: float = 1.0):
     """Run `num_iterations` rounds over all constraint types in the
     reference's order: distance, ball, fixed, hinge, cone-twist, slider,
-    collision (constraints.cpp:3748-3772)."""
+    collision (constraints.cpp:3748-3772).
+
+    Returns (bodies, contact_imp_n): the per-pair-point accumulated normal
+    impulses ((P, 4) or None) — the collision-impulse magnitude surfaced to
+    collision events (physics.cpp:1091-1095 sums impulses per pair)."""
     v, w = bodies.v, bodies.w
     inv_m, inv_i = bodies.inv_mass, bodies.inv_inertia
     p = prepped
 
-    def zeros_for(prep, n_acc):
+    def zeros_for(prep, n_acc, shape_field="body_a"):
         if prep is None:
             return ()
-        z = jnp.zeros(prep.body_a.shape, v.dtype)
+        z = jnp.zeros(getattr(prep, shape_field).shape, v.dtype)
         return tuple(z for _ in range(n_acc))
 
     accs = {
         "hinge": zeros_for(p.hinge, 2),
         "cone_twist": zeros_for(p.cone_twist, 4),
         "slider": zeros_for(p.slider, 2),
-        "contacts": zeros_for(p.contacts, 2),
+        "contacts": zeros_for(p.contacts, 2, "bias"),
     }
+
+    # per-body 1/degree per contact phase: constant across iterations
+    inv_deg_phases = (contact_phase_inv_degrees(p.contacts, v.shape[0])
+                      if p.contacts is not None and mode != "scan" else ())
 
     passes = [
         ("distance", p.distance, _distance_solve_one, 0),
@@ -1033,39 +1185,28 @@ def solve_constraints(bodies: SolverBodies, prepped: Prepped,
         ("slider", p.slider, _slider_solve_one, 2),
         ("contacts", p.contacts, _contact_solve_one, 2),
     ]
-    run_pass = _gs_pass if mode == "scan" else _jacobi_pass
 
     def one_iteration(carry, _):
         v, w, acc_tuple = carry
-        acc_map = dict(zip([n for n, *_ in passes if n in accs], acc_tuple))
         acc_map = {"hinge": acc_tuple[0], "cone_twist": acc_tuple[1],
                    "slider": acc_tuple[2], "contacts": acc_tuple[3]}
         for name, prep, fn, n_acc in passes:
             if prep is None:
                 continue
             cur = acc_map.get(name, ())
-            if mode == "scan":
+            if mode == "scan" and name == "contacts":
+                v, w, new = _contact_gs_pass(prep, v, w, cur)
+            elif mode == "scan":
                 v, w, new = _gs_pass(prep, fn, n_acc, v, w, inv_m, inv_i, cur)
-            elif (mode == "colored" and name != "contacts"
+            elif name == "contacts":
+                # phased pair-major pass: Gauss-Seidel across the scene's
+                # static contact phases (single averaged-Jacobi slice when
+                # the scene was built without phases)
+                v, w, new = _contact_phased_pass(prep, v, w, cur,
+                                                 inv_deg_phases, omega=omega)
+            elif (mode == "colored"
                   and getattr(prep, "color", None) is not None):
                 v, w, new = _colored_pass(prep, fn, v, w, inv_m, inv_i, cur)
-            elif mode == "colored" and name == "contacts":
-                # hashed color phases: contacts whose lower body index is
-                # congruent mod NC solve together; chain-topology contacts
-                # (stacks) become conflict-free, giving Gauss-Seidel-like
-                # convergence; residual conflicts fall back to averaged
-                # updates within the phase. fori keeps the trace single
-                # (compile time) since every phase is the same program.
-                NC = 4
-                low = jnp.minimum(prep.body_a, prep.body_b)
-
-                def phase_body(c, carry, prep=prep, fn=fn):
-                    pv, pw, pcur = carry
-                    return _jacobi_pass(prep, fn, pv, pw, inv_m, inv_i,
-                                        pcur, omega=omega,
-                                        phase_mask=(low % NC == c))
-
-                v, w, new = jax.lax.fori_loop(0, NC, phase_body, (v, w, cur))
             else:
                 v, w, new = _jacobi_pass(prep, fn, v, w, inv_m, inv_i, cur,
                                          omega=omega)
@@ -1076,5 +1217,7 @@ def solve_constraints(bodies: SolverBodies, prepped: Prepped,
 
     init = (v, w, (accs["hinge"], accs["cone_twist"], accs["slider"],
                    accs["contacts"]))
-    (v, w, _), _ = jax.lax.scan(one_iteration, init, None, length=num_iterations)
-    return bodies.replace(v=v, w=w)
+    (v, w, final_accs), _ = jax.lax.scan(one_iteration, init, None,
+                                         length=num_iterations)
+    contact_imp_n = final_accs[3][0] if final_accs[3] else None
+    return bodies.replace(v=v, w=w), contact_imp_n

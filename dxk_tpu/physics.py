@@ -50,6 +50,9 @@ class PhysicsSettings:
     num_cloth_drift_iterations: int = struct.field(pytree_node=False, default=0)
     solver_mode: str = struct.field(pytree_node=False, default="scan")
     sor_omega: float = struct.field(pytree_node=False, default=1.0)
+    # debug-mode NaN/Inf stage sweeps (VALIDATE analog, physics.cpp:807-926);
+    # reports the first offending stage in StepInfo.validate_stage
+    validate: bool = struct.field(pytree_node=False, default=False)
 
 
 def _pair_params(w, idx):
@@ -120,21 +123,46 @@ def physics_step(scene: Scene, state: State, settings: PhysicsSettings,
     dt = jnp.float32(dt)
     controls = state.controls if state.controls is not None \
         else scene.default_controls
+    tracker = None
+    if settings.validate:
+        from dxk_tpu.utils.validate import StageTracker
+        tracker = StageTracker()
 
     # 1-2: colliders -> AABBs -> candidate overlaps
     w = world_colliders(scene, state.pos, state.rot)
     mn, mx = collider_aabbs(scene, w)
+    if tracker is not None:
+        tracker.check("world_colliders", w)
+        tracker.check("aabbs", (mn, mx))
 
+    # Groups are consumed in ascending contact-phase order so the
+    # concatenated pair-major contact arrays are phase-contiguous and the
+    # solver can run static Gauss-Seidel phase slices (see
+    # solver._contact_phased_pass; phases assigned at build time).
+    order = sorted(range(len(scene.pair_groups)),
+                   key=lambda gi: scene.pair_groups[gi].phase)
     all_pts, all_dps, all_nrm = [], [], []
-    all_cnt, all_hit = [], []
+    all_cnt, all_hit, all_cpairs = [], [], []
     all_body_a, all_body_b, all_fric, all_rest = [], [], [], []
+    phase_sizes = {}
     num_overlaps = jnp.int32(0)
     num_dropped = jnp.int32(0)
 
-    for group in scene.pair_groups:
-        mask = aabb_overlap_mask(mn, mx, group.pairs)
-        num_overlaps = num_overlaps + jnp.sum(mask.astype(jnp.int32))
-        pairs, mask, dropped = compact_pairs(group.pairs, mask, group.max_narrow)
+    kselect = None
+    if scene.broadphase_k > 0:
+        from dxk_tpu.ops.broadphase import kselect_group_pairs
+        kselect, num_overlaps, row_dropped = kselect_group_pairs(scene, mn, mx)
+        num_dropped = num_dropped + row_dropped
+
+    for gi in order:
+        group = scene.pair_groups[gi]
+        if kselect is not None:
+            pairs, mask, dropped = kselect[gi]
+        else:
+            mask = aabb_overlap_mask(mn, mx, group.pairs)
+            num_overlaps = num_overlaps + jnp.sum(mask.astype(jnp.int32))
+            pairs, mask, dropped = compact_pairs(group.pairs, mask,
+                                                 group.max_narrow)
         num_dropped = num_dropped + dropped
 
         pts, dps, nrm, cnt, hit = _contacts_for_group(scene, w, group, pairs, mask)
@@ -151,11 +179,14 @@ def physics_step(scene: Scene, state: State, settings: PhysicsSettings,
         all_nrm.append(nrm)
         all_cnt.append(cnt)
         all_hit.append(hit)
+        all_cpairs.append(pairs)
         from dxk_tpu.ops.tpu_gather import onehot_gather_1d as _ogi
         all_body_a.append(_ogi(w.body, ia))
         all_body_b.append(_ogi(w.body, ib))
         all_fric.append(fric)
         all_rest.append(rest)
+        phase_sizes[group.phase] = (phase_sizes.get(group.phase, 0)
+                                    + pairs.shape[0])
 
     # 3b: heightfield terrain contacts (heightmapCollision,
     # physics.cpp:1238-1248)
@@ -179,41 +210,53 @@ def physics_step(scene: Scene, state: State, settings: PhysicsSettings,
     # 5: integrate forces
     bodies = integrate_forces(scene, state, dt)
 
-    # flatten contacts: (sum_groups P*4,) contact slots
+    # assemble pair-major contact manifolds: (P, 4) points per pair, phases
+    # contiguous, heightfield block as its own trailing phase slice
     prepped_contacts = None
+    contact_pairs = None
+    contact_mask = None
     total_contacts = jnp.int32(0)
     if all_pts or hf_contacts is not None:
         parts = []
         if all_pts:
-            pts = jnp.concatenate([p.reshape(-1, 3) for p in all_pts])
-            dps = jnp.concatenate([d.reshape(-1) for d in all_dps])
-            nrm = jnp.concatenate([jnp.repeat(n, 4, axis=0) for n in all_nrm])
-            slot = jnp.concatenate([
-                jnp.tile(jnp.arange(4), c.shape[0]) for c in all_cnt])
-            cnt4 = jnp.concatenate([jnp.repeat(c, 4) for c in all_cnt])
-            hit4 = jnp.concatenate([jnp.repeat(h, 4) for h in all_hit])
-            cmask = hit4 & (slot < cnt4)
-            body_a = jnp.concatenate([jnp.repeat(b, 4) for b in all_body_a])
-            body_b = jnp.concatenate([jnp.repeat(b, 4) for b in all_body_b])
-            fric = jnp.concatenate([jnp.repeat(f, 4) for f in all_fric])
-            rest = jnp.concatenate([jnp.repeat(r, 4) for r in all_rest])
+            pts = jnp.concatenate(all_pts)                     # (P, 4, 3)
+            dps = jnp.concatenate(all_dps)                     # (P, 4)
+            nrm = jnp.repeat(jnp.concatenate(all_nrm)[:, None, :], 4, axis=1)
+            cnt = jnp.concatenate(all_cnt)
+            hit = jnp.concatenate(all_hit)
+            cmask = hit[:, None] & (jnp.arange(4)[None, :] < cnt[:, None])
+            body_a = jnp.concatenate(all_body_a)
+            body_b = jnp.concatenate(all_body_b)
+            fric = jnp.concatenate(all_fric)
+            rest = jnp.concatenate(all_rest)
+            # Dead pairs point at the dummy static body: masked points give
+            # zero impulses, but live body indices would still inflate the
+            # per-body degree averaging (1/degree), which collapses the
+            # effective impulse once candidate pairs >> hits.
+            dummy = jnp.int32(scene.num_bodies)
+            live = cmask.any(axis=1)
+            body_a = jnp.where(live, body_a, dummy)
+            body_b = jnp.where(live, body_b, dummy)
             parts.append((pts, nrm, dps, body_a, body_b, fric, rest, cmask))
         if hf_contacts is not None:
             parts.append(hf_contacts)
         pts, nrm, dps, body_a, body_b, fric, rest, cmask = (
             tuple(jnp.concatenate([p[i] for p in parts]) for i in range(8)))
+        sizes = tuple(phase_sizes[p] for p in sorted(phase_sizes))
+        if hf_contacts is not None:
+            sizes = sizes + (hf_contacts[0].shape[0],)
         total_contacts = jnp.sum(cmask.astype(jnp.int32))
-        # Point invalid slots at the dummy static body: masked rows produce
-        # zero impulses, but their body indices would still inflate the
-        # per-body degree in the jacobi/colored averaging (1/degree), which
-        # collapses the effective impulse once candidate pairs >> hits
-        # (e.g. 300 boxes on a plane sink at near-gravity rate).
-        dummy = jnp.int32(scene.num_bodies)
-        body_a = jnp.where(cmask, body_a, dummy)
-        body_b = jnp.where(cmask, body_b, dummy)
+        contact_mask = cmask.any(axis=1)
+        if all_cpairs:
+            hf_rows = hf_contacts[0].shape[0] if hf_contacts is not None else 0
+            contact_pairs = jnp.concatenate(
+                all_cpairs + ([jnp.full((hf_rows, 2), -1, jnp.int32)]
+                              if hf_rows else []))
+        if tracker is not None:
+            tracker.check("contacts", (pts, nrm, dps))
         prepped_contacts = prep_contacts(
             bodies, body_a, body_b, pts, nrm, dps, fric, rest,
-            cmask.astype(pts.dtype), dt)
+            cmask.astype(pts.dtype), dt, phase_sizes=sizes)
 
     # 6: constraint prep + solve
     prepped = Prepped(
@@ -231,12 +274,19 @@ def physics_step(scene: Scene, state: State, settings: PhysicsSettings,
         slider=prep_slider(bodies, scene.slider, controls, dt)
         if scene.slider is not None else None,
     )
-    bodies = solve_constraints(bodies, prepped,
-                               settings.num_rigid_solver_iterations,
-                               settings.solver_mode, settings.sor_omega)
+    if tracker is not None:
+        tracker.check("body_velocities", (bodies.v, bodies.w))
+        tracker.check("constraint_prep", prepped)
+    bodies, contact_imp_n = solve_constraints(
+        bodies, prepped, settings.num_rigid_solver_iterations,
+        settings.solver_mode, settings.sor_omega)
+    if tracker is not None:
+        tracker.check("solved_velocities", (bodies.v, bodies.w))
 
     # 7: integrate velocities
     new_state = integrate_velocities(scene, bodies, state, dt)
+    if tracker is not None:
+        tracker.check("integrated_state", (new_state.pos, new_state.rot))
 
     # 8: cloth
     if scene.cloth is not None and state.cloth is not None:
@@ -249,6 +299,11 @@ def physics_step(scene: Scene, state: State, settings: PhysicsSettings,
         num_contacts=total_contacts,
         broadphase_overflow=num_dropped,
         trigger_overlap=trigger_overlap,
+        contact_pairs=contact_pairs,
+        contact_mask=contact_mask,
+        contact_impulse=(jnp.sum(contact_imp_n, axis=-1)
+                         if contact_imp_n is not None else None),
+        validate_stage=(tracker.first_bad() if tracker is not None else None),
     )
     return new_state, info
 

@@ -519,7 +519,22 @@ class SceneBuilder:
     # -- finalize ----------------------------------------------------------
 
     def finalize(self, max_narrow_pairs_per_group: Optional[int] = None,
-                 dtype=np.float32) -> Scene:
+                 dtype=np.float32, contact_phases: int = 1,
+                 broadphase: str = "table", broadphase_k: int = 8) -> Scene:
+        """contact_phases=K > 1 splits every candidate bucket into K phase
+        sub-buckets by a body-index hash chosen so pairs within a phase
+        rarely share a dynamic body (chains/stacks become conflict-free).
+        The phased contact solver then runs exact Gauss-Seidel across phase
+        slices with no per-iteration masking — the build-time analog of the
+        reference's scheduleConstraintsSIMD conflict-free batching
+        (constraints.cpp:51-184). max_narrow_pairs_per_group then applies
+        per (type-bucket, phase) sub-bucket.
+
+        broadphase='kselect' enables the fused Pallas broadphase (per-row
+        K-select over all collider pairs, ops/pallas/kselect_broadphase.py)
+        instead of masking the static candidate tables — use for scenes with
+        hundreds+ of colliders; broadphase_k caps overlapping partners per
+        collider (overflow counted in StepInfo)."""
         nb = len(self._bodies)
         n1 = nb + 1  # + dummy
 
@@ -596,11 +611,26 @@ class SceneBuilder:
         cap = max_narrow_pairs_per_group or self.max_narrow_pairs_per_group
         groups = []
         for (ta, tb), pairs in sorted(coll_buckets.items()):
-            p = np.asarray(pairs, np.int32)
-            max_narrow = len(pairs) if cap is None else min(cap, len(pairs))
-            groups.append(PairGroup(type_a=int(ta), type_b=int(tb),
-                                    pairs=jnp.asarray(p),
-                                    max_narrow=int(max_narrow)))
+            p = np.asarray(pairs, np.int32).reshape(-1, 2)
+            if contact_phases > 1:
+                ba, bb = col["body"][p[:, 0]], col["body"][p[:, 1]]
+                a_st, b_st = ba == nb, bb == nb
+                dyn_min = np.where(a_st, bb, np.where(b_st, ba,
+                                                      np.minimum(ba, bb)))
+                # offset static pairs by 2 so a body's chain contact and its
+                # ground contact land in different phases
+                phase = (dyn_min + 2 * (a_st | b_st)) % contact_phases
+            else:
+                phase = np.zeros(len(p), np.int32)
+            for ph in range(contact_phases):
+                pp = p[phase == ph]
+                if len(pp) == 0:
+                    continue
+                max_narrow = len(pp) if cap is None else min(cap, len(pp))
+                groups.append(PairGroup(type_a=int(ta), type_b=int(tb),
+                                        pairs=jnp.asarray(pp),
+                                        max_narrow=int(max_narrow),
+                                        phase=int(ph)))
 
         # trigger/FF overlap pairs, bucketed by type for exact shape tests
         # (overlapCheck, collision_narrow.cpp:1593-1689)
@@ -740,6 +770,8 @@ class SceneBuilder:
             ),
             hulls=hulls,
             pair_groups=tuple(groups),
+            num_contact_phases=int(contact_phases),
+            broadphase_k=(int(broadphase_k) if broadphase == "kselect" else 0),
             overlap_groups=tuple(overlap_groups),
             overlap_pairs=jnp.asarray(
                 np.asarray(overlap_pairs, np.int32).reshape(-1, 2)),

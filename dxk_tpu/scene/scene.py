@@ -111,6 +111,11 @@ class PairGroup:
     # max_narrow: how many overlapping pairs proceed to narrowphase (fixed
     # capacity; overflow is counted, mirroring the reference's conservative
     # arena sizing physics.cpp:1212-1228).
+    # contact solver phase (builder contact_phases=K splits each bucket so
+    # pairs in the same phase rarely share a dynamic body; the solver runs
+    # phases as sequential Gauss-Seidel slices — the build-time analog of
+    # scheduleConstraintsSIMD's conflict-free batching, constraints.cpp:51-184)
+    phase: int = struct.field(pytree_node=False, default=0)
 
 
 @struct.dataclass
@@ -199,6 +204,10 @@ class Scene:
     hulls: Optional[HullGeometry] = None
     # broadphase candidate tables, one per active type bucket
     pair_groups: tuple = struct.field(default=())        # tuple[PairGroup]
+    # contact solver phases (builder contact_phases) and fused-broadphase
+    # K-select width (0 = masked-table broadphase)
+    num_contact_phases: int = struct.field(pytree_node=False, default=1)
+    broadphase_k: int = struct.field(pytree_node=False, default=0)
     overlap_groups: tuple = struct.field(default=())     # tuple[PairGroup]
     overlap_pairs: jnp.ndarray = None   # (Q, 2) int32 trigger/FF pairs
     # joints
@@ -280,3 +289,14 @@ class StepInfo:
     num_contacts: jnp.ndarray              # () int32
     broadphase_overflow: jnp.ndarray       # () int32 pairs dropped at capacity
     trigger_overlap: jnp.ndarray = None    # (Q,) bool per static overlap pair
+    # collision events as data (handleCollisionCallbacks,
+    # physics.cpp:1037-1178): the solved contact-pair slots this step, with
+    # per-pair summed normal impulse. Frame-over-frame begin/end diffing
+    # lives in dxk_tpu.events (the sorted-merge of physics.cpp:1100-1152).
+    contact_pairs: jnp.ndarray = None      # (P, 2) int32 collider ids (-1 hf)
+    contact_mask: jnp.ndarray = None       # (P,) bool pair has live points
+    contact_impulse: jnp.ndarray = None    # (P,) f32 summed normal impulse
+    # first non-finite pipeline stage (utils/validate.STAGE_NAMES index) or
+    # -1; only populated with PhysicsSettings.validate=True (VALIDATE analog,
+    # physics.cpp:807-926)
+    validate_stage: jnp.ndarray = None     # () int32

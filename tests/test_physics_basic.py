@@ -184,9 +184,11 @@ if __name__ == "__main__":
 
 class TestTallStack:
     def test_16_box_tower_colored_solver(self):
-        """Tall towers need Gauss-Seidel-like convergence: hashed-color
-        contact phases hold a 16-box tower where plain averaged Jacobi
-        collapses (docs/PERF_NOTES.md)."""
+        """Tall towers need Gauss-Seidel-like convergence: build-time
+        contact phases (finalize(contact_phases=K)) hold a 16-box tower
+        where plain averaged Jacobi collapses (docs/PERF_NOTES.md; the
+        build-time analog of scheduleConstraintsSIMD's conflict-free
+        batching, constraints.cpp:51-184)."""
         b = SceneBuilder()
         make_ground(b)
         ids = []
@@ -194,7 +196,7 @@ class TestTallStack:
             body = b.add_body(position=(0, 0.5 + i * 1.001, 0))
             b.add_box_collider(body, (0, 0, 0), (0.5, 0.5, 0.5))
             ids.append(body)
-        scene = b.finalize()
+        scene = b.finalize(contact_phases=4)
         settings = PhysicsSettings(solver_mode="colored",
                                    num_rigid_solver_iterations=30)
         state = run(scene, scene.initial_state(), 480, settings)

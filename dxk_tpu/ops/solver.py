@@ -278,11 +278,22 @@ def prep_distance(bodies: SolverBodies, j, dt) -> DistancePrep:
     im = (onehot_gather_1d(bodies.inv_mass, a) + dot(cr_a, _mat_vec(inv_ia, cr_a))
           + onehot_gather_1d(bodies.inv_mass, b) + dot(cr_b, _mat_vec(inv_ib, cr_b)))
     bias = jnp.where(dt > DT_THRESHOLD, (l - j.length) * (DISTANCE_BETA * inv_dt), 0.0)
+    # DELIBERATE DEVIATION from the reference: both its scalar and SIMD
+    # distance paths compute impulseToAngularVelocity as
+    # invInertia * cross(relAnchor, cross(relAnchor, u))
+    # (constraints.cpp:232-233 and 367-368) — a double cross. The correct
+    # torque arm for an impulse P = lambda*u is invInertia * (relAnchor x u),
+    # the same form the reference itself uses everywhere else (e.g. contacts,
+    # constraints.cpp:3369-3372). The double cross points the angular
+    # response off-axis, pumps energy, and makes any CHAIN of distance
+    # constraints explode (single joints merely orbit oddly — the reference's
+    # demos never chain them, so it goes unseen there). We use the correct
+    # arm; see tests/test_fidelity.py chain stability oracles.
     return DistancePrep(
         body_a=a, body_b=b, color=j.color, num_colors=j.num_colors, rel_a=rel_a, rel_b=rel_b, u=u, bias=bias,
         eff_mass=_inv_or_zero(im),
-        to_wa=_mat_vec(inv_ia, cross(rel_a, cr_a)),
-        to_wb=_mat_vec(inv_ib, cross(rel_b, cr_b)))
+        to_wa=_mat_vec(inv_ia, cr_a),
+        to_wb=_mat_vec(inv_ib, cr_b))
 
 
 def _distance_solve_one(c, inv_ma, inv_mb, va, wa, vb, wb):

@@ -45,7 +45,19 @@ def builder_to_dict(b: SceneBuilder) -> dict:
                             if isinstance(v, np.ndarray) else v)
                         for k, v in j.params.items()}}
             for j in b._joints],
+        # hulls round-trip completely: vertices + face planes + mass
+        # properties, so reload preserves exact inertia and ray casts. The
+        # reference's YAML path skips hulls entirely
+        # (serialization_yaml.cpp:74-278 serializes sphere/capsule/AABB/OBB
+        # only); this exceeds it like the joints above.
         "hulls": [v.tolist() for v in b._hull_geoms],
+        "hull_faces": [{"normals": np.asarray(n).tolist(),
+                        "offsets": np.asarray(d).tolist()}
+                       for n, d in b._hull_faces],
+        "hull_props": [{"mass_per_density": float(m),
+                        "cog": np.asarray(c).tolist(),
+                        "inertia_per_density": np.asarray(i).tolist()}
+                       for m, c, i in b._hull_props],
         "force_fields": [
             {"force": np.asarray(ff["force"]).tolist(), "owner": ff["owner"]}
             for ff in b._force_fields],
@@ -77,12 +89,24 @@ def builder_from_dict(d: dict) -> SceneBuilder:
         params = {k: (np.asarray(v, np.float64) if isinstance(v, list) else v)
                   for k, v in j["params"].items()}
         b._joints.append(_Joint(j["kind"], j["body_a"], j["body_b"], params))
-    for v in d.get("hulls", []):
-        # NB: hull mass properties require refaceting; reload via
-        # add_hull_geometry when faces are available. Raw vertices keep
-        # collision working.
+    faces = d.get("hull_faces")
+    props = d.get("hull_props")
+    for hi, v in enumerate(d.get("hulls", [])):
         b._hull_geoms.append(np.asarray(v, np.float64))
-        b._hull_props.append((1.0, np.zeros(3), np.eye(3)))
+        if props is not None:
+            p = props[hi]
+            b._hull_props.append((p["mass_per_density"],
+                                  np.asarray(p["cog"], np.float64),
+                                  np.asarray(p["inertia_per_density"],
+                                             np.float64)))
+        else:   # legacy dump without hull metadata: collision-only reload
+            b._hull_props.append((1.0, np.zeros(3), np.eye(3)))
+        if faces is not None:
+            f = faces[hi]
+            b._hull_faces.append((np.asarray(f["normals"], np.float64),
+                                  np.asarray(f["offsets"], np.float64)))
+        else:
+            b._hull_faces.append((np.zeros((0, 3)), np.zeros((0,))))
     for ff in d.get("force_fields", []):
         b._force_fields.append({"force": np.asarray(ff["force"], np.float64),
                                 "owner": ff["owner"]})

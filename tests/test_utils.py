@@ -132,3 +132,49 @@ class TestKNN:
         assert np.array_equal(np.asarray(idx), ref)
         i, d = nearest(jnp.asarray(pts), jnp.asarray(q[0]))
         assert int(i) == ref[0, 0]
+
+
+class TestHullSerialization:
+    def test_hull_scene_roundtrip_identical_trajectory(self, tmp_path):
+        """Hull vertices + face planes + mass properties all persist
+        (exceeding serialization_yaml.cpp:74-278, which skips hulls):
+        a reloaded hull scene must produce the identical trajectory."""
+        import jax
+        import numpy as np
+        from dxk_tpu.physics import PhysicsSettings, physics_step
+        from dxk_tpu.scene import SceneBuilder
+        from dxk_tpu.scene.serialization import load_scene, save_scene
+
+        def build():
+            b = SceneBuilder()
+            g = b.add_static()
+            b.add_box_collider(g, (0, -1, 0), (20, 1, 20))
+            # irregular tetrahedron-ish hull (asymmetric inertia)
+            verts = np.array([[0.4, 0, 0], [-0.3, 0.25, 0.1],
+                              [0, -0.2, 0.35], [-0.1, -0.15, -0.3],
+                              [0.1, 0.3, -0.2]])
+            hid = b.add_hull_geometry_from_mesh(verts)
+            body = b.add_body(position=(0, 1.0, 0), rotation=(0.2, 0.1, 0, 0.97))
+            b.add_hull_collider(body, hid)
+            return b
+
+        b1 = build()
+        path = str(tmp_path / "scene.json")
+        save_scene(path, b1)
+        b2 = load_scene(path)
+
+        settings = PhysicsSettings(num_rigid_solver_iterations=10,
+                                   solver_mode="scan")
+
+        def run(builder):
+            scene = builder.finalize()
+            st = scene.initial_state()
+            step = jax.jit(lambda s: physics_step(scene, s, settings, 1 / 120))
+            for _ in range(120):
+                st, _ = step(st)
+            return np.asarray(st.pos), np.asarray(st.rot)
+
+        p1, r1 = run(b1)
+        p2, r2 = run(b2)
+        np.testing.assert_array_equal(p1, p2)
+        np.testing.assert_array_equal(r1, r2)

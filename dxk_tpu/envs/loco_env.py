@@ -54,7 +54,13 @@ class LocoEnv:
 
     def __init__(self, solver_iterations: int = 30, solver_mode: str = "scan",
                  max_narrow_pairs: int = 48, enable_pokes: bool = True,
-                 narrow_caps: dict = None):
+                 narrow_caps: dict = None,
+                 torso_velocity_target=(0.0, 0.0, 0.0)):
+        # torso_velocity_target: the DReCon-style walking target subtracted
+        # in the vcm reward term (learned_locomotion.cpp:345 vcmError;
+        # default vec3(0) = standing, learned_locomotion.cpp:41)
+        self.torso_velocity_target = jnp.asarray(torso_velocity_target,
+                                                 jnp.float32)
         b = SceneBuilder()
         ground = b.add_static(position=(0.0, -4.0, 0.0))
         b.add_box_collider(ground, (0, 0, 0), (20.0, 4.0, 20.0),
@@ -248,7 +254,8 @@ class LocoEnv:
         rot_diff = quat_mul(self.target_local_rotations, quat_conj(tr))
         rot_err = jnp.sum(2.0 * jnp.arccos(jnp.clip(rot_diff[..., 3], -1.0, 1.0)))
 
-        vcm_err = jnp.linalg.norm(state.lin_vel[self.torso_id])
+        vcm_err = jnp.linalg.norm(state.lin_vel[self.torso_id]
+                                  - self.torso_velocity_target)
 
         rp = jnp.exp(-10.0 / NUM_BODY_PARTS * pos_err)
         rv = jnp.exp(-1.0 / NUM_BODY_PARTS * vel_err)

@@ -86,7 +86,10 @@ def bench_box_stack(num_boxes, batch, steps, iters_timed, solver_iterations,
             body = b.add_body(position=(x, 0.5 + 1.001 * i, z))
             b.add_box_collider(body, (0, 0, 0), (0.5, 0.5, 0.5))
             n += 1
-    scene = b.finalize(max_narrow_pairs_per_group=2 * num_boxes)
+    # 4 contact phases -> conflict-free Gauss-Seidel slices in the solver;
+    # per-phase cap: ~num_boxes/2 live pairs land in each of 4 phases
+    scene = b.finalize(max_narrow_pairs_per_group=num_boxes // 2,
+                       contact_phases=4)
     settings = PhysicsSettings(num_rigid_solver_iterations=solver_iterations,
                                solver_mode=solver_mode)
 
@@ -121,6 +124,146 @@ def bench_box_stack(num_boxes, batch, steps, iters_timed, solver_iterations,
     return body_steps / best_dt, compile_s
 
 
+def _time_batched_steps(scene, settings, state, steps, iters_timed,
+                        num_bodies):
+    """Shared timing core: scan `steps` substeps, best of 3 windows.
+    Returns (body_steps_per_s, compile_s)."""
+    from dxk_tpu.physics import physics_step
+
+    batch = state.pos.shape[0]
+
+    def n_steps(s):
+        def body(carry, _):
+            c, _i = jax.vmap(
+                lambda st: physics_step(scene, st, settings, 1 / 120))(carry)
+            return c, None
+        s, _ = jax.lax.scan(body, s, None, length=steps)
+        return s
+
+    run = jax.jit(n_steps)
+    t0 = time.time()
+    state = run(state)
+    _sync(state.pos)
+    compile_s = time.time() - t0
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(iters_timed):
+            state = run(state)
+        _sync(state.pos)
+        best = min(best, time.time() - t0)
+    return num_bodies * batch * steps * iters_timed / best, compile_s
+
+
+def _broadcast_state(scene, batch):
+    base = scene.initial_state()
+    return jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (batch, *x.shape)).copy(), base)
+
+
+def bench_constraint_zoo(batch, steps, iters_timed, solver_iterations):
+    """BASELINE config 2: chains exercising every joint type with limits +
+    velocity AND position motors (constraints.cpp all 7 init/solve paths)."""
+    from dxk_tpu.physics import PhysicsSettings
+    from dxk_tpu.scene import SceneBuilder
+
+    b = SceneBuilder()
+    n_chains = 16
+    n = 0
+    for ci in range(n_chains):
+        x = ci * 4.0
+        top = b.add_body(position=(x, 8, 0), kinematic=True)
+        prev, y = top, 8.0
+        for kind in ("distance", "ball", "fixed", "hinge", "cone_twist",
+                     "slider"):
+            y -= 1.0
+            link = b.add_body(position=(x, y, 0))
+            b.add_capsule_collider(link, (0, -0.3, 0), (0, 0.3, 0), 0.12)
+            anchor = (x, y + 0.5, 0)
+            if kind == "distance":
+                b.add_distance_constraint(prev, link, (x, y + 0.8, 0), anchor)
+            elif kind == "ball":
+                b.add_ball_constraint(prev, link, anchor)
+            elif kind == "fixed":
+                b.add_fixed_constraint(prev, link, anchor)
+            elif kind == "hinge":
+                b.add_hinge_constraint(prev, link, anchor, (1, 0, 0),
+                                       min_limit=-1.0, max_limit=1.0)
+            elif kind == "cone_twist":
+                b.add_cone_twist_constraint(prev, link, anchor, (0, -1, 0),
+                                            swing_limit=0.8, twist_limit=0.5)
+            else:
+                b.add_slider_constraint(prev, link, anchor, (0, 1, 0),
+                                        min_limit=-0.4, max_limit=0.4)
+            prev = link
+            n += 1
+        n += 1  # anchor body
+    scene = b.finalize()
+    # motors: position-drive the hinges, velocity-drive the sliders
+    c = scene.default_controls
+    c = c.replace(
+        hinge_motor_type=jnp.ones_like(c.hinge_motor_type),
+        hinge_target=jnp.full_like(c.hinge_target, 0.5),
+        hinge_max_torque=jnp.full_like(c.hinge_max_torque, 50.0),
+        slider_motor_type=jnp.zeros_like(c.slider_motor_type),
+        slider_target=jnp.full_like(c.slider_target, 0.2),
+        slider_max_force=jnp.full_like(c.slider_max_force, 80.0),
+    )
+    scene = scene.replace(default_controls=c)
+    settings = PhysicsSettings(num_rigid_solver_iterations=solver_iterations,
+                               solver_mode="colored")
+    state = _broadcast_state(scene, batch)
+    return _time_batched_steps(scene, settings, state, steps, iters_timed, n)
+
+
+def bench_ragdoll_settle(batch, steps, iters_timed, solver_iterations):
+    """BASELINE config 3: ragdoll drop-and-settle (14 bodies, 17 colliders,
+    13 joints; ragdoll.cpp constants)."""
+    from dxk_tpu.models.ragdoll import add_ragdoll
+    from dxk_tpu.physics import PhysicsSettings
+    from dxk_tpu.scene import SceneBuilder
+
+    b = SceneBuilder()
+    ground = b.add_static(position=(0, -4.0, 0))
+    b.add_box_collider(ground, (0, 0, 0), (20, 4, 20), friction=1.0)
+    add_ragdoll(b, initial_hip_position=(0.0, 1.6, 0.0))
+    scene = b.finalize(max_narrow_pairs_per_group=32)
+    settings = PhysicsSettings(num_rigid_solver_iterations=solver_iterations,
+                               solver_mode="jacobi")
+    state = _broadcast_state(scene, batch)
+    return _time_batched_steps(scene, settings, state, steps, iters_timed, 14)
+
+
+def bench_cloth_vehicle_heightfield(batch, steps, iters_timed,
+                                    solver_iterations):
+    """BASELINE config 4: vehicle + cloth sheet on heightfield terrain."""
+    import numpy as _np
+    from dxk_tpu.models.vehicle import add_vehicle
+    from dxk_tpu.physics import PhysicsSettings
+    from dxk_tpu.scene import SceneBuilder
+
+    b = SceneBuilder()
+    hx, hz = 33, 33
+    xs, zs = _np.meshgrid(_np.arange(hx), _np.arange(hz), indexing="ij")
+    H = (0.4 * _np.sin(xs * 0.4) * _np.cos(zs * 0.4)).astype(_np.float32)
+    b.set_heightfield(H, cell_size=1.0, min_corner=(-16.0, 0.0, -16.0),
+                      friction=1.0)
+    veh = add_vehicle(b, initial_position=(0.0, 1.6, 0.0))
+    b.add_cloth(width=2.0, height=2.0, grid_x=12, grid_y=12, total_mass=1.0,
+                transform_pos=(6.0, 3.0, 0.0))
+    scene = b.finalize(max_narrow_pairs_per_group=96)
+    c = scene.default_controls
+    c = c.replace(
+        hinge_motor_type=c.hinge_motor_type.at[veh.motor_hinge].set(0),
+        hinge_target=c.hinge_target.at[veh.motor_hinge].set(3.0),
+        hinge_max_torque=c.hinge_max_torque.at[veh.motor_hinge].set(500.0))
+    scene = scene.replace(default_controls=c)
+    settings = PhysicsSettings(num_rigid_solver_iterations=solver_iterations,
+                               solver_mode="jacobi")
+    state = _broadcast_state(scene, batch)
+    return _time_batched_steps(scene, settings, state, steps, iters_timed, 16)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--envs", type=int, default=None)
@@ -133,6 +276,9 @@ def main():
     ap.add_argument("--solver-iterations", type=int, default=30)
     ap.add_argument("--skip-box", action="store_true")
     ap.add_argument("--skip-loco", action="store_true")
+    ap.add_argument("--skip-aux", action="store_true",
+                    help="skip BASELINE configs 2-4 "
+                         "(zoo/ragdoll/cloth+vehicle)")
     args = ap.parse_args()
 
     on_tpu = jax.devices()[0].platform != "cpu"
@@ -162,6 +308,23 @@ def main():
         extras["box_batch"] = box_batch
         extras["box_compile_s"] = round(c, 1)
         extras["box_vs_baseline"] = round(box_rate / 10e6, 3)
+
+    if not args.skip_aux:
+        # BASELINE configs 2-4 (constraint zoo / ragdoll settle /
+        # cloth+vehicle on heightfield): body-steps/s extras
+        aux_batch = 64 if on_tpu else 2
+        r, c = bench_constraint_zoo(aux_batch, args.steps, args.iters,
+                                    args.solver_iterations)
+        extras["zoo_body_steps_per_s"] = round(r)
+        extras["zoo_compile_s"] = round(c, 1)
+        r, c = bench_ragdoll_settle(4 * aux_batch, args.steps, args.iters,
+                                    args.solver_iterations)
+        extras["ragdoll_settle_body_steps_per_s"] = round(r)
+        extras["ragdoll_settle_compile_s"] = round(c, 1)
+        r, c = bench_cloth_vehicle_heightfield(
+            aux_batch, args.steps, args.iters, args.solver_iterations)
+        extras["cloth_vehicle_hf_body_steps_per_s"] = round(r)
+        extras["cloth_vehicle_hf_compile_s"] = round(c, 1)
 
     if loco_rate is not None:
         value = loco_rate

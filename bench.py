@@ -28,15 +28,25 @@ def _sync(tree):
     return float(jnp.sum(leaf.astype(jnp.float32)))
 
 
-def bench_loco(num_envs, steps, iters_timed, solver_mode, solver_iterations):
+def bench_loco(num_envs, steps, iters_timed, solver_mode, solver_iterations,
+               chunk=1024):
+    """Env batches above ~2048 hit a superlinear per-op cost cliff on the
+    chip (docs/PERF_NOTES.md); tiling the batch into `chunk`-sized jitted
+    scans stays on the fast path — 4096 envs as 4x1024 runs at the 1024-env
+    per-env rate (62.8k/s vs 39k/s monolithic, measured)."""
     from dxk_tpu.envs.loco_env import LocoEnv
 
     env = LocoEnv(solver_iterations=solver_iterations,
                   solver_mode=solver_mode, max_narrow_pairs=32,
                   enable_pokes=True,
                   narrow_caps={(1, 1): 24, (1, 3): 20, (3, 3): 3})
+    chunk = min(chunk, num_envs)
+    n_chunks = num_envs // chunk
+    assert num_envs % chunk == 0
     keys = jax.random.split(jax.random.PRNGKey(0), num_envs)
     st, obs = jax.jit(jax.vmap(env.reset))(keys)
+    chunks = [jax.tree_util.tree_map(lambda x: x[i * chunk:(i + 1) * chunk],
+                                     st) for i in range(n_chunks)]
 
     def n_steps(st0, actions):
         def body(carry, _):
@@ -48,10 +58,10 @@ def bench_loco(num_envs, steps, iters_timed, solver_mode, solver_iterations):
         return st1, rewards.sum()
 
     run = jax.jit(n_steps)
-    actions = jnp.zeros((num_envs, 27))
+    actions = jnp.zeros((chunk, 27))
     t_c0 = time.time()
-    st2, _ = run(st, actions)
-    _sync(st2.physics.pos)
+    chunks[0], _ = run(chunks[0], actions)
+    _sync(chunks[0].physics.pos)
     compile_s = time.time() - t_c0
 
     # best of 3 windows: single-window numbers jitter ~5% through the
@@ -60,8 +70,9 @@ def bench_loco(num_envs, steps, iters_timed, solver_mode, solver_iterations):
     for _w in range(3):
         t0 = time.time()
         for _ in range(iters_timed):
-            st, r = run(st, actions)
-        _sync(st.physics.pos)
+            for i in range(n_chunks):
+                chunks[i], r = run(chunks[i], actions)
+        _sync(chunks[0].physics.pos)
         best_dt = min(best_dt, time.time() - t0)
     total_env_steps = num_envs * steps * iters_timed
     return total_env_steps / best_dt, compile_s
@@ -87,9 +98,12 @@ def bench_box_stack(num_boxes, batch, steps, iters_timed, solver_iterations,
             b.add_box_collider(body, (0, 0, 0), (0.5, 0.5, 0.5))
             n += 1
     # 4 contact phases -> conflict-free Gauss-Seidel slices in the solver;
-    # per-phase cap: ~num_boxes/2 live pairs land in each of 4 phases
+    # per-phase cap: ~num_boxes/2 live pairs land in each of 4 phases.
+    # kselect broadphase: the masked O(C^2) table costs ~20 ms/step at
+    # C~1k batch 8; the fused Pallas sweep is ~4x cheaper (PERF_NOTES).
     scene = b.finalize(max_narrow_pairs_per_group=num_boxes // 2,
-                       contact_phases=4)
+                       contact_phases=4, broadphase="kselect",
+                       broadphase_k=8)
     settings = PhysicsSettings(num_rigid_solver_iterations=solver_iterations,
                                solver_mode=solver_mode)
 

@@ -1,0 +1,890 @@
+"""Fused batched constraint solver — one Pallas TPU kernel for the whole
+30-iteration, all-types velocity solve of a vmapped env batch.
+
+Motivation (measured, docs/PERF_NOTES.md round 2): at 1024 locomotion envs
+the XLA solver passes are 88% of the env step (15.8 of 17.9 ms) — every
+per-constraint op is a (B, P, 3)-shaped elementwise op whose 3-wide minor
+axis wastes the TPU's 128 lanes, and 30 iterations x ~10 passes of them
+round-trip HBM. This kernel is the TPU shape of the reference's
+scheduleConstraintsSIMD + SIMD solver pair
+(/root/reference/src/physics/constraints.cpp:51-184, 3453-3772): where the
+reference packs 8 constraints into AVX lanes, we pack the ENV BATCH onto
+the vector lanes (128 envs per grid step) and the constraints of a pair
+group onto sublanes, and keep body velocities resident in VMEM across all
+iterations.
+
+Scope: scenes whose solve topology is STATIC and shared across the batch —
+the RL workhorse pattern (SURVEY §2.2/2.7: N identical envs stepped in
+lockstep). Concretely:
+
+  - every broadphase pair group has max_narrow == table size (no dynamic
+    compaction; per-env liveness arrives as masked prep: dead pairs have
+    eff_mass == 0 and contribute exactly zero impulse — the same guarantee
+    the masked XLA path relies on);
+  - joints are hinge / cone-twist only (the ragdoll's types;
+    ragdoll.cpp:36-123); other types or a heightfield fall back to the
+    XLA path;
+  - solver semantics match solver_mode="jacobi": per-type averaged-Jacobi
+    passes in the reference's type order, degree-averaged per body
+    (constraints.cpp:3748-3772 order), contact manifolds solved
+    point-sequential in-row (constraints.cpp:3404-3442).
+
+Data layout inside the kernel (all f32):
+
+  - vw: (NB, 6*CB) — body rows x [v|w] components, each component a CB-lane
+    (one env chunk) slice. Lives in the fori_loop carry -> VMEM/vregs.
+  - contact fields: (K, 3, Pg, CB) vectors / (K, Pg, CB) scalars — the
+    pair axis on SUBLANES, envs on LANES: a (Pg, CB) elementwise op fills
+    whole vregs.
+  - contact gather/scatter: static 0/1 incidence matrices (2Pg, NB) /
+    (NB, 2Pg) contracted on the MXU against the (NB, 6*CB) velocity block —
+    body indices are scene constants, so "gather" is a tiny matmul, not a
+    dynamic address computation.
+  - joints: few rows — direct static row reads from vw.
+
+The fused call sits behind jax.custom_batching.custom_vmap: unbatched it
+falls back to the XLA jacobi path; under vmap the whole batch enters the
+kernel with a grid over 128-env chunks.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+CB = 128          # envs per grid chunk (one full vreg of lanes)
+
+# max contact points a narrowphase recipe can emit, by sorted (typeA,typeB)
+# (ops/narrowphase.py: sphere* analytic single point; capsule-capsule /
+# capsule-box / cylinder segment clips <=2; box-box Sutherland-Hodgman +
+# 4-point reduction; hulls single EPA contact)
+# type ids: 0=sphere 1=capsule 2=cylinder 3=box 4=hull
+TYPE_MAX_POINTS = {
+    (0, 0): 1, (0, 1): 1, (0, 2): 1, (0, 3): 1, (0, 4): 1,
+    (1, 1): 2, (1, 2): 2, (1, 3): 2, (1, 4): 1,
+    (2, 2): 2, (2, 3): 2, (2, 4): 1,
+    (3, 3): 4, (3, 4): 1,
+    (4, 4): 1,
+}
+
+VEC_FIELDS = ("rel_a", "rel_b", "normal", "tangent",
+              "n_to_wa", "n_to_wb", "t_to_wa", "t_to_wb")
+SCAL_FIELDS = ("eff_mass_n", "eff_mass_t", "bias", "friction")
+
+HINGE_VECS = ("rel_a", "rel_b", "translation_bias", "bxa", "cxa", "axis",
+              "ml_to_wa", "ml_to_wb")
+HINGE_SCALS = ("eff_axial_mass", "solve_limit", "solve_motor", "limit_sign",
+               "limit_bias", "motor_velocity", "max_motor_impulse")
+CT_VECS = ("rel_a", "rel_b", "bias", "swing_axis", "sl_to_wa", "sl_to_wb",
+           "twist_axis", "tw_to_wa", "tw_to_wb", "swing_motor_axis",
+           "sm_to_wa", "sm_to_wb")
+CT_SCALS = ("solve_swing_limit", "eff_swing_limit_mass", "swing_limit_bias",
+            "solve_twist_limit", "eff_twist_mass", "twist_limit_sign",
+            "twist_limit_bias", "solve_swing_motor", "eff_swing_motor_mass",
+            "swing_motor_velocity", "max_swing_motor_impulse",
+            "solve_twist_motor", "twist_motor_velocity",
+            "max_twist_motor_impulse")
+
+# packed rows per joint: vec fields + mt(9) + mr(4) + rot_bias(2) + scalars
+HINGE_ROWS = len(HINGE_VECS) * 3 + 9 + 4 + 2 + len(HINGE_SCALS)
+CT_ROWS = len(CT_VECS) * 3 + 9 + len(CT_SCALS)
+
+
+def fused_eligible(scene, prepped) -> bool:
+    """Static check: can this scene solve in the fused kernel?"""
+    if scene.heightfield is not None:
+        return False
+    if prepped.contacts is None:
+        return False
+    for name in ("distance", "ball", "fixed", "slider"):
+        if getattr(scene, name) is not None:
+            return False
+    if scene.broadphase_k > 0:
+        return False
+    for g in scene.pair_groups:
+        if g.max_narrow != g.pairs.shape[0]:
+            return False
+    return True
+
+
+def make_fused_solver(scene, num_iterations, omega=1.0):
+    """Returns fn(bodies, prepped) -> (v, w, contact_imp_n).
+
+    The returned function is a jax.custom_batching.custom_vmap: called
+    unbatched (a single env) it runs the XLA jacobi path; under vmap the
+    whole env batch enters the fused kernel. physics_step stays per-env
+    code — the batch dimension the caller's vmap introduces is what the
+    kernel consumes."""
+    from dxk_tpu.ops.solver import solve_constraints
+
+    @jax.custom_batching.custom_vmap
+    def fused(bodies, prepped):
+        out_bodies, imp = solve_constraints(bodies, prepped, num_iterations,
+                                            "jacobi", omega)
+        return out_bodies.v, out_bodies.w, imp
+
+    @fused.def_vmap
+    def _fused_vmap(axis_size, in_batched, bodies, prepped):
+        # leaves that are scene constants (inv_mass, static tables) arrive
+        # unbatched — broadcast them so the packer sees uniform (B, ...)
+        def bc(x, b):
+            return x if b else jnp.broadcast_to(
+                jnp.asarray(x), (axis_size, *jnp.shape(x)))
+        bodies = jax.tree_util.tree_map(bc, bodies, in_batched[0])
+        prepped = jax.tree_util.tree_map(bc, prepped, in_batched[1])
+        v, w, imp = fused_solve_batched(scene, bodies, prepped,
+                                        num_iterations, omega)
+        return (v, w, imp), (True, True, True)
+
+    return fused
+
+
+def _group_meta(scene):
+    """Static per-group metadata: (P_g, K_g, body_a, body_b) with bodies as
+    python int lists, in the same phase-sorted order physics_step
+    concatenates prep."""
+    body_of = np.asarray(scene.colliders.body)
+    metas = []
+    for gi in sorted(range(len(scene.pair_groups)),
+                     key=lambda i: scene.pair_groups[i].phase):
+        g = scene.pair_groups[gi]
+        pairs = np.asarray(g.pairs)
+        key = (min(g.type_a, g.type_b), max(g.type_a, g.type_b))
+        k = TYPE_MAX_POINTS.get(key, 4)
+        metas.append((pairs.shape[0], k,
+                      body_of[pairs[:, 0]].tolist(),
+                      body_of[pairs[:, 1]].tolist()))
+    return metas
+
+
+# ===========================================================================
+# component-math helpers on (…, CB)-shaped rows
+
+
+def _cross(a, b):
+    return (a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0])
+
+
+def _dot(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def _add(a, b):
+    return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
+
+
+def _sub(a, b):
+    return (a[0] - b[0], a[1] - b[1], a[2] - b[2])
+
+
+def _muls(a, s):
+    return (a[0] * s, a[1] * s, a[2] * s)
+
+
+def _matvec(m, v):
+    """m: 9-tuple row-major, v: v3."""
+    return (m[0] * v[0] + m[1] * v[1] + m[2] * v[2],
+            m[3] * v[0] + m[4] * v[1] + m[5] * v[2],
+            m[6] * v[0] + m[7] * v[1] + m[8] * v[2])
+
+
+def _inv_nz(x):
+    return jnp.where(x != 0.0, 1.0 / jnp.where(x != 0.0, x, 1.0), 0.0)
+
+
+def _solve_2x2(a11, a12, a21, a22, b0, b1):
+    det = a11 * a22 - a12 * a21
+    inv = _inv_nz(det)
+    return inv * (a22 * b0 - a12 * b1), inv * (a11 * b1 - a21 * b0)
+
+
+def _solve_3x3(m, b):
+    """Cramer's rule on columns (math.cpp:1356-1372). m 9-tuple row-major."""
+    ex = (m[0], m[3], m[6])
+    ey = (m[1], m[4], m[7])
+    ez = (m[2], m[5], m[8])
+    det = _dot(ex, _cross(ey, ez))
+    inv = _inv_nz(det)
+    return (inv * _dot(b, _cross(ey, ez)),
+            inv * _dot(ex, _cross(b, ez)),
+            inv * _dot(ex, _cross(ey, b)))
+
+
+# ===========================================================================
+# in-kernel solves (ports of ops/solver.py *_solve_one to component rows)
+
+
+def _contact_point(cv, cs, inv_ma, inv_mb, va, wa, vb, wb, imp_n, imp_t):
+    """Friction then normal (constraints.cpp:3404-3442); all args
+    (Pg, CB)-shaped rows / v3 tuples of them."""
+    rel_a, rel_b, nrm, tan, twa_n, twb_n, twa_t, twb_t = cv
+    eff_n, eff_t, bias, fric = cs
+
+    av = _add(va, _cross(wa, rel_a))
+    bv = _add(vb, _cross(wb, rel_b))
+    vt = _dot(tan, _sub(bv, av))
+    lam = -eff_t * vt
+    max_f = fric * imp_n
+    new = jnp.clip(imp_t + lam, -max_f, max_f)
+    lam = new - imp_t
+    imp_t = new
+    va = _sub(va, _muls(tan, inv_ma * lam))
+    wa = _sub(wa, _muls(twa_t, lam))
+    vb = _add(vb, _muls(tan, inv_mb * lam))
+    wb = _add(wb, _muls(twb_t, lam))
+
+    av = _add(va, _cross(wa, rel_a))
+    bv = _add(vb, _cross(wb, rel_b))
+    vn = _dot(nrm, _sub(bv, av))
+    lam = -eff_n * (vn - bias)
+    new = jnp.maximum(imp_n + lam, 0.0)
+    lam = new - imp_n
+    imp_n = new
+    va = _sub(va, _muls(nrm, inv_ma * lam))
+    wa = _sub(wa, _muls(twa_n, lam))
+    vb = _add(vb, _muls(nrm, inv_mb * lam))
+    wb = _add(wb, _muls(twb_n, lam))
+    return va, wa, vb, wb, imp_n, imp_t
+
+
+def _hinge_one(f, inv_ma, inv_mb, inv_ia, inv_ib, va, wa, vb, wb,
+               limit_imp, motor_imp):
+    """Motor -> limit -> rotation -> position (constraints.cpp:1215-1306).
+    f: dict of (CB,)-shaped fields; inv_i*: 9-tuples."""
+    axis = f["axis"]
+    # motor
+    rel_w = _dot(axis, wb) - _dot(axis, wa)
+    cdot = rel_w - f["motor_velocity"]
+    lam = -f["eff_axial_mass"] * cdot
+    new = jnp.clip(motor_imp + lam, -f["max_motor_impulse"],
+                   f["max_motor_impulse"])
+    on = f["solve_motor"] > 0.5
+    lam = jnp.where(on, new - motor_imp, 0.0)
+    motor_imp = jnp.where(on, new, motor_imp)
+    wa = _sub(wa, _muls(f["ml_to_wa"], lam))
+    wb = _add(wb, _muls(f["ml_to_wb"], lam))
+
+    # limit
+    rel_w = f["limit_sign"] * (_dot(axis, wb) - _dot(axis, wa))
+    cdot = rel_w + f["limit_bias"]
+    lam = -f["eff_axial_mass"] * cdot
+    imp = jnp.maximum(limit_imp + lam, 0.0)
+    on = f["solve_limit"] > 0.5
+    lam = jnp.where(on, imp - limit_imp, 0.0)
+    limit_imp = jnp.where(on, imp, limit_imp)
+    lam = lam * f["limit_sign"]
+    wa = _sub(wa, _muls(f["ml_to_wa"], lam))
+    wb = _add(wb, _muls(f["ml_to_wb"], lam))
+
+    # rotation (2D)
+    dw = _sub(wb, wa)
+    c0 = _dot(f["bxa"], dw) + f["rot_bias0"]
+    c1 = _dot(f["cxa"], dw) + f["rot_bias1"]
+    l0, l1 = _solve_2x2(f["mr00"], f["mr01"], f["mr10"], f["mr11"],
+                        -c0, -c1)
+    rot_p = _add(_muls(f["bxa"], l0), _muls(f["cxa"], l1))
+    wa = _sub(wa, _matvec(inv_ia, rot_p))
+    wb = _add(wb, _matvec(inv_ib, rot_p))
+
+    # position (3D)
+    av = _add(va, _cross(wa, f["rel_a"]))
+    bv = _add(vb, _cross(wb, f["rel_b"]))
+    cdot3 = _add(_sub(bv, av), f["translation_bias"])
+    P = _solve_3x3(f["mt"], tuple(-c for c in cdot3))
+    va = _sub(va, _muls(P, inv_ma))
+    wa = _sub(wa, _matvec(inv_ia, _cross(f["rel_a"], P)))
+    vb = _add(vb, _muls(P, inv_mb))
+    wb = _add(wb, _matvec(inv_ib, _cross(f["rel_b"], P)))
+    return va, wa, vb, wb, limit_imp, motor_imp
+
+
+def _cone_twist_one(f, inv_ma, inv_mb, inv_ia, inv_ib, va, wa, vb, wb,
+                    swing_imp, twist_imp, sm_imp, tm_imp):
+    """Twist motor -> swing motor -> twist limit -> swing limit -> position
+    (constraints.cpp:1955-2068)."""
+    # twist motor
+    rel_w = _dot(f["twist_axis"], wb) - _dot(f["twist_axis"], wa)
+    cdot = rel_w - f["twist_motor_velocity"]
+    lam = -f["eff_twist_mass"] * cdot
+    new = jnp.clip(tm_imp + lam, -f["max_twist_motor_impulse"],
+                   f["max_twist_motor_impulse"])
+    on = f["solve_twist_motor"] > 0.5
+    lam = jnp.where(on, new - tm_imp, 0.0)
+    tm_imp = jnp.where(on, new, tm_imp)
+    wa = _sub(wa, _muls(f["tw_to_wa"], lam))
+    wb = _add(wb, _muls(f["tw_to_wb"], lam))
+
+    # swing motor
+    rel_w = _dot(f["swing_motor_axis"], wb) - _dot(f["swing_motor_axis"], wa)
+    cdot = rel_w - f["swing_motor_velocity"]
+    lam = -f["eff_swing_motor_mass"] * cdot
+    new = jnp.clip(sm_imp + lam, -f["max_swing_motor_impulse"],
+                   f["max_swing_motor_impulse"])
+    on = f["solve_swing_motor"] > 0.5
+    lam = jnp.where(on, new - sm_imp, 0.0)
+    sm_imp = jnp.where(on, new, sm_imp)
+    wa = _sub(wa, _muls(f["sm_to_wa"], lam))
+    wb = _add(wb, _muls(f["sm_to_wb"], lam))
+
+    # twist limit
+    rel_w = f["twist_limit_sign"] * (_dot(f["twist_axis"], wb)
+                                     - _dot(f["twist_axis"], wa))
+    cdot = rel_w + f["twist_limit_bias"]
+    lam = -f["eff_twist_mass"] * cdot
+    imp = jnp.maximum(twist_imp + lam, 0.0)
+    on = f["solve_twist_limit"] > 0.5
+    lam = jnp.where(on, imp - twist_imp, 0.0)
+    twist_imp = jnp.where(on, imp, twist_imp)
+    lam = lam * f["twist_limit_sign"]
+    wa = _sub(wa, _muls(f["tw_to_wa"], lam))
+    wb = _add(wb, _muls(f["tw_to_wb"], lam))
+
+    # swing limit (reversed signs, constraints.cpp:2035-2048)
+    cdot = (_dot(f["swing_axis"], wa) - _dot(f["swing_axis"], wb)
+            + f["swing_limit_bias"])
+    lam = -f["eff_swing_limit_mass"] * cdot
+    imp = jnp.maximum(swing_imp + lam, 0.0)
+    on = f["solve_swing_limit"] > 0.5
+    lam = jnp.where(on, imp - swing_imp, 0.0)
+    swing_imp = jnp.where(on, imp, swing_imp)
+    wa = _add(wa, _muls(f["sl_to_wa"], lam))
+    wb = _sub(wb, _muls(f["sl_to_wb"], lam))
+
+    # position
+    av = _add(va, _cross(wa, f["rel_a"]))
+    bv = _add(vb, _cross(wb, f["rel_b"]))
+    cdot3 = _add(_sub(bv, av), f["bias"])
+    P = _solve_3x3(f["m"], tuple(-c for c in cdot3))
+    va = _sub(va, _muls(P, inv_ma))
+    wa = _sub(wa, _matvec(inv_ia, _cross(f["rel_a"], P)))
+    vb = _add(vb, _muls(P, inv_mb))
+    wb = _add(wb, _matvec(inv_ib, _cross(f["rel_b"], P)))
+    return va, wa, vb, wb, swing_imp, twist_imp, sm_imp, tm_imp
+
+
+# ===========================================================================
+# the kernel
+#
+# I/O layout: every per-env tensor reaches the kernel BATCH-MAJOR (B, cols)
+# — XLA-side packing is then pure slices + one stack (no batch-minor
+# transposes, which measured ~3-6 ms each on the chip). The kernel flips a
+# chunk's block to entity-rows/env-lanes itself: small tensors with one
+# tpu.transpose, the big contact tensors by DMA-ing the (CB, cols) block
+# from HBM into a bounce buffer and transposing (CB, Pg) column-slices into
+# a persistent VMEM scratch (a few microseconds — VMEM-to-VMEM).
+
+
+def _cvec_rows(kg):
+    return kg * 8 * 3          # per-pair column-slices of vec fields
+
+
+def _cscal_rows(kg):
+    return kg * 4
+
+
+def _con_slices(pg, kg):
+    """Total (Pg, CB)-column-slices in a group's packed tensor
+    (vec | scal | inv_ma | inv_mb)."""
+    return _cvec_rows(kg) + _cscal_rows(kg) + 2
+
+
+def _round128(x):
+    return ((x + 127) // 128) * 128
+
+
+def _mxu_t(x):
+    """Transpose (CB, X) -> (X, CB) on the MXU: contract the CB axis
+    against a CB x CB identity. Exact for f32 (products with an exact-1.0
+    operand), free of the lane-alignment constraints tpu.transpose and DMA
+    slicing impose."""
+    ident = jnp.eye(x.shape[0], dtype=jnp.float32)
+    return jax.lax.dot_general(
+        x, ident, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _hinge_field_rows(t, j):
+    """Fields of hinge j from the transposed (H*RH, CB) array."""
+    base = j * HINGE_ROWS
+    r = base
+    f = {}
+    for name in ("rel_a", "rel_b", "translation_bias", "bxa", "cxa", "axis",
+                 "ml_to_wa", "ml_to_wb"):
+        f[name] = (t[r], t[r + 1], t[r + 2])
+        r += 3
+    f["mt"] = tuple(t[r + i] for i in range(9)); r += 9
+    f["mr00"], f["mr01"], f["mr10"], f["mr11"] = t[r], t[r+1], t[r+2], t[r+3]
+    r += 4
+    f["rot_bias0"] = t[r]; r += 1
+    f["rot_bias1"] = t[r]; r += 1
+    for name in HINGE_SCALS:
+        f[name] = t[r]
+        r += 1
+    return f
+
+
+def _ct_field_rows(t, j):
+    base = j * CT_ROWS
+    r = base
+    f = {}
+    for name in CT_VECS:
+        f[name] = (t[r], t[r + 1], t[r + 2])
+        r += 3
+    f["m"] = tuple(t[r + i] for i in range(9)); r += 9
+    for name in CT_SCALS:
+        f[name] = t[r]
+        r += 1
+    return f
+
+
+def _make_kernel(metas, hinge_ab, ct_ab, nb, num_iterations, omega):
+    n_groups = len(metas)
+
+    def kernel(*refs):
+        it = iter(refs)
+        vw_ref = next(it)                      # (CB, 6*NB) block
+        invm_ref = next(it)                    # (CB, NB)
+        invI_ref = next(it)                    # (CB, 9*NB) cols i*NB+n
+        invdeg_ref = next(it)                  # (CB, 3*NB) cols t*NB+n
+        g_con, g_gat, g_sca = [], [], []
+        for _g in range(n_groups):
+            g_con.append(next(it))             # HBM (B, S*Pg)
+            g_gat.append(next(it))             # (2Pg, NB) const
+            g_sca.append(next(it))             # (NB, 2Pg) const
+        hinge_ref = next(it) if hinge_ab else None   # (CB, H*RH)
+        ct_ref = next(it) if ct_ab else None         # (CB, C*RC)
+        vw_out = next(it)                      # (CB, 6*NB)
+        imp_outs = [next(it) for _g in range(n_groups)]   # (CB, K*Pg)
+        scratches = [next(it) for _g in range(n_groups)]  # (S*Pg, CB) VMEM
+        bounce = next(it)                      # (CB, max cols) VMEM
+        sem = next(it)                         # DMA semaphore
+
+        chunk = pl.program_id(0)
+
+        # ---- stage contact tensors: one DMA per group (padded width, so
+        # the destination slice stays 128-lane aligned), then one MXU
+        # transpose into the entity-major scratch
+        for g, (pg, kg, _a, _b) in enumerate(metas):
+            cols_p = _round128(_con_slices(pg, kg) * pg)
+            cp = pltpu.make_async_copy(
+                g_con[g].at[pl.ds(chunk * CB, CB), :],
+                bounce.at[:, pl.ds(0, cols_p)], sem)
+            cp.start()
+            cp.wait()
+            scratches[g][:, :] = _mxu_t(bounce[:, :cols_p])
+
+        # ---- small tensors: one MXU transpose each
+        vw_t = _mxu_t(vw_ref[:, :])       # (6NB, CB)
+        invm_t = _mxu_t(invm_ref[:, :])   # (NB, CB)
+        invI_t = _mxu_t(invI_ref[:, :])   # (9NB, CB)
+        idg_t = _mxu_t(invdeg_ref[:, :])  # (3NB, CB)
+        hinge_t = _mxu_t(hinge_ref[:, :]) if hinge_ref is not None else None
+        ct_t = _mxu_t(ct_ref[:, :]) if ct_ref is not None else None
+
+        # vw as (NB, 6*CB): component c of body n in lanes [c*CB:(c+1)*CB]
+        # (assembled from the comp-major rows c*NB+n)
+        vw0 = jnp.concatenate(
+            [vw_t[c * nb:(c + 1) * nb, :] for c in range(6)], axis=1)
+        inv_deg = [jnp.concatenate(
+            [idg_t[t * nb:(t + 1) * nb, :] for _ in range(6)], axis=1)
+            for t in range(3)]
+
+        def comp(x, c):
+            return x[:, c * CB:(c + 1) * CB]
+
+        def body_row(vw, n):
+            return [vw[n, c * CB:(c + 1) * CB] for c in range(6)]
+
+        def inv_I(n):
+            return tuple(invI_t[i * nb + n, :] for i in range(9))
+
+        def one_iteration(_i, carry):
+            vw, con_imps, hinge_imps, ct_imps = carry
+
+            # ---- hinge pass (jacobi over the few joints) ----------------
+            if hinge_ab:
+                delta = {}
+                h_lim, h_mot = hinge_imps
+                new_lim, new_mot = [], []
+                for j, (a, b) in enumerate(hinge_ab):
+                    ra = body_row(vw, a)
+                    rb = body_row(vw, b)
+                    va, wa = tuple(ra[0:3]), tuple(ra[3:6])
+                    vb, wb = tuple(rb[0:3]), tuple(rb[3:6])
+                    f = _hinge_field_rows(hinge_t, j)
+                    nva, nwa, nvb, nwb, li, mi = _hinge_one(
+                        f, invm_t[a, :], invm_t[b, :],
+                        inv_I(a), inv_I(b), va, wa, vb, wb,
+                        h_lim[j], h_mot[j])
+                    _acc(delta, a, _sub(nva, va), _sub(nwa, wa))
+                    _acc(delta, b, _sub(nvb, vb), _sub(nwb, wb))
+                    new_lim.append(li)
+                    new_mot.append(mi)
+                vw = _apply_delta(vw, delta, inv_deg[1], omega)
+                hinge_imps = (new_lim, new_mot)
+
+            # ---- cone-twist pass ----------------------------------------
+            if ct_ab:
+                delta = {}
+                c_sw, c_tw, c_sm, c_tm = ct_imps
+                n_sw, n_tw, n_sm, n_tm = [], [], [], []
+                for j, (a, b) in enumerate(ct_ab):
+                    ra = body_row(vw, a)
+                    rb = body_row(vw, b)
+                    va, wa = tuple(ra[0:3]), tuple(ra[3:6])
+                    vb, wb = tuple(rb[0:3]), tuple(rb[3:6])
+                    f = _ct_field_rows(ct_t, j)
+                    (nva, nwa, nvb, nwb, si, ti, smi, tmi) = _cone_twist_one(
+                        f, invm_t[a, :], invm_t[b, :],
+                        inv_I(a), inv_I(b), va, wa, vb, wb,
+                        c_sw[j], c_tw[j], c_sm[j], c_tm[j])
+                    _acc(delta, a, _sub(nva, va), _sub(nwa, wa))
+                    _acc(delta, b, _sub(nvb, vb), _sub(nwb, wb))
+                    n_sw.append(si)
+                    n_tw.append(ti)
+                    n_sm.append(smi)
+                    n_tm.append(tmi)
+                vw = _apply_delta(vw, delta, inv_deg[2], omega)
+                ct_imps = (n_sw, n_tw, n_sm, n_tm)
+
+            # ---- contact pass (pair-vectorized per group) ---------------
+            # all groups read the same velocity snapshot (jacobi); per-body
+            # deltas sum across groups then degree-average — the update
+            # _jacobi_pass/_contact_phased_pass computes.
+            all_deltas = jnp.zeros_like(vw)
+            new_con_imps = []
+            for g, (pg, kg, _ba, _bb) in enumerate(metas):
+                sc = scratches[g]
+                nvec = _cvec_rows(kg)
+                u = jax.lax.dot_general(
+                    g_gat[g][:, :], vw,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)      # (2Pg, 6CB)
+                va = tuple(comp(u[:pg], c) for c in range(3))
+                wa = tuple(comp(u[:pg], c + 3) for c in range(3))
+                vb = tuple(comp(u[pg:], c) for c in range(3))
+                wb = tuple(comp(u[pg:], c + 3) for c in range(3))
+                va0, wa0, vb0, wb0 = va, wa, vb, wb
+                inv_ma = sc[(nvec + _cscal_rows(kg)) * pg:
+                            (nvec + _cscal_rows(kg) + 1) * pg, :]
+                inv_mb = sc[(nvec + _cscal_rows(kg) + 1) * pg:
+                            (nvec + _cscal_rows(kg) + 2) * pg, :]
+                imp_n, imp_t = con_imps[g]
+                nn, tt = [], []
+                for k in range(kg):
+                    cv = []
+                    for fi in range(8):
+                        base = (k * 8 + fi) * 3
+                        cv.append(tuple(
+                            sc[(base + c) * pg:(base + c + 1) * pg, :]
+                            for c in range(3)))
+                    cs = tuple(
+                        sc[(nvec + k * 4 + si) * pg:
+                           (nvec + k * 4 + si + 1) * pg, :]
+                        for si in range(4))
+                    va, wa, vb, wb, ik_n, ik_t = _contact_point(
+                        cv, cs, inv_ma, inv_mb, va, wa, vb, wb,
+                        imp_n[k], imp_t[k])
+                    nn.append(ik_n)
+                    tt.append(ik_t)
+                new_con_imps.append((nn, tt))
+                da = list(_sub(va, va0)) + list(_sub(wa, wa0))
+                db = list(_sub(vb, vb0)) + list(_sub(wb, wb0))
+                d = jnp.concatenate(
+                    [jnp.concatenate(da, axis=1),
+                     jnp.concatenate(db, axis=1)], axis=0)   # (2Pg, 6CB)
+                all_deltas = all_deltas + jax.lax.dot_general(
+                    g_sca[g][:, :], d,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)      # (NB, 6CB)
+            vw = vw + all_deltas * (omega * inv_deg[0])
+            return vw, tuple(new_con_imps), hinge_imps, ct_imps
+
+        # impulse accumulators start at zero every step
+        # (constraints.cpp:3324-3325 — no warm starting)
+        zero = jnp.zeros((CB,), jnp.float32)
+        con0 = tuple(
+            ([jnp.zeros((pg, CB), jnp.float32) for _ in range(kg)],
+             [jnp.zeros((pg, CB), jnp.float32) for _ in range(kg)])
+            for (pg, kg, _a, _b) in metas)
+        hinge0 = ([zero for _ in hinge_ab], [zero for _ in hinge_ab])
+        ct0 = tuple([zero for _ in ct_ab] for _ in range(4))
+
+        vw, con_imps, _h, _c = jax.lax.fori_loop(
+            0, num_iterations, one_iteration, (vw0, con0, hinge0, ct0))
+
+        out_rows = jnp.concatenate(
+            [vw[:, c * CB:(c + 1) * CB] for c in range(6)], axis=0)
+        vw_out[:, :] = _mxu_t(out_rows)
+        for g, (pg, kg, _a, _b) in enumerate(metas):
+            nn = con_imps[g][0]
+            rows = jnp.concatenate(nn, axis=0)               # (K*Pg, CB)
+            imp_outs[g][:, :] = _mxu_t(rows)
+
+    return kernel
+
+
+def _acc(delta, n, dv, dw):
+    cur = delta.get(n)
+    entry = list(dv) + list(dw)
+    if cur is None:
+        delta[n] = entry
+    else:
+        delta[n] = [c + e for c, e in zip(cur, entry)]
+
+
+def _apply_delta(vw, delta, inv_deg, omega):
+    """Apply the few joint deltas to the (NB, 6CB) block. Rows assemble via
+    concatenate (static row indices) — Mosaic has no scatter-add lowering
+    for value updates."""
+    nb = vw.shape[0]
+    zero = None
+    rows = []
+    for n in range(nb):
+        comps = delta.get(n)
+        if comps is None:
+            if zero is None:
+                zero = jnp.zeros((1, vw.shape[1]), vw.dtype)
+            rows.append(zero)
+        else:
+            row = jnp.concatenate(
+                [c[None, :] for c in comps], axis=1)         # (1, 6CB)
+            rows.append(row * (omega * inv_deg[n])[None, :])
+    return vw + jnp.concatenate(rows, axis=0)
+
+
+# ===========================================================================
+# XLA-side packing + custom_vmap wrapper
+
+
+def _inv_degrees(body_a, body_b, nbb):
+    """(B, P) int32 pair bodies -> (B, nbb) 1/degree. One-hot sums — a
+    vmapped scatter-add costs ~6 ms at B=1024 on the chip."""
+    oh = (jax.nn.one_hot(body_a, nbb, dtype=jnp.float32).sum(axis=1)
+          + jax.nn.one_hot(body_b, nbb, dtype=jnp.float32).sum(axis=1))
+    return 1.0 / jnp.maximum(oh, 1.0)
+
+
+def _pack_contacts(prepped_contacts, metas):
+    """Per group, one (B, S*Pg) tensor: column-slice s holds one
+    (field, point, component) across the group's pairs; pure B-major
+    slices + a single stack."""
+    c = prepped_contacts
+    out = []
+    off = 0
+    for pg, kg, _a, _b in metas:
+        sl = slice(off, off + pg)
+        parts = []
+        for k in range(kg):
+            for f in VEC_FIELDS:
+                v = getattr(c, f)
+                for ci in range(3):
+                    parts.append(v[:, sl, k, ci])            # (B, Pg)
+        for k in range(kg):
+            for f in SCAL_FIELDS:
+                parts.append(getattr(c, f)[:, sl, k])
+        parts.append(c.inv_ma[:, sl])
+        parts.append(c.inv_mb[:, sl])
+        t = jnp.stack(parts, axis=1)                         # (B, S, Pg)
+        t = t.reshape(t.shape[0], -1)
+        pad = _round128(t.shape[1]) - t.shape[1]
+        if pad:
+            t = jnp.pad(t, ((0, 0), (0, pad)))
+        out.append(t)
+        off += pg
+    return out
+
+
+def _pack_joint(prep, vec_names, scal_names, extra):
+    """(B, J*R) with column j*R + r (row order matching the kernel's
+    _*_field_rows readers)."""
+    rows = []
+    for name in vec_names:
+        v = getattr(prep, name)                  # (B, J, 3)
+        rows.extend([v[..., i] for i in range(3)])
+    rows.extend(extra)
+    for name in scal_names:
+        rows.append(getattr(prep, name).astype(jnp.float32))
+    t = jnp.stack(rows, axis=2)                  # (B, J, R)
+    return t.reshape(t.shape[0], -1)
+
+
+def fused_solve_batched(scene, bodies, prepped, num_iterations, omega=1.0):
+    """Batched entry: all `bodies`/`prepped` leaves carry a leading batch
+    axis. Returns (v, w, contact_imp_n) batched."""
+    metas = _group_meta(scene)
+    hinge_ab = (list(zip(np.asarray(scene.hinge.body_a).tolist(),
+                         np.asarray(scene.hinge.body_b).tolist()))
+                if scene.hinge is not None else [])
+    ct_ab = (list(zip(np.asarray(scene.cone_twist.body_a).tolist(),
+                      np.asarray(scene.cone_twist.body_b).tolist()))
+             if scene.cone_twist is not None else [])
+
+    B = bodies.v.shape[0]
+    nb = bodies.v.shape[1]            # includes the dummy row
+    if B % CB:
+        raise ValueError(f"fused solver: batch {B} must be a multiple "
+                         f"of {CB}")
+    n_chunks = B // CB
+
+    # ---- pack inputs (all batch-major) ------------------------------------
+    vw = jnp.concatenate([bodies.v, bodies.w], axis=-1)      # (B, N, 6)
+    vw = jnp.transpose(vw, (0, 2, 1)).reshape(B, 6 * nb)     # cols c*N+n
+    invm = bodies.inv_mass                                   # (B, N)
+    invI = jnp.transpose(bodies.inv_inertia.reshape(B, nb, 9),
+                         (0, 2, 1)).reshape(B, 9 * nb)       # cols i*N+n
+
+    c = prepped.contacts
+    invdeg_con = _inv_degrees(c.body_a, c.body_b, nb)        # (B, N)
+    if hinge_ab:
+        ha = jnp.broadcast_to(scene.hinge.body_a[None, :],
+                              (B, len(hinge_ab)))
+        hb = jnp.broadcast_to(scene.hinge.body_b[None, :],
+                              (B, len(hinge_ab)))
+        invdeg_h = _inv_degrees(ha, hb, nb)
+    else:
+        invdeg_h = jnp.ones((B, nb), jnp.float32)
+    if ct_ab:
+        ca = jnp.broadcast_to(scene.cone_twist.body_a[None, :],
+                              (B, len(ct_ab)))
+        cb2 = jnp.broadcast_to(scene.cone_twist.body_b[None, :],
+                               (B, len(ct_ab)))
+        invdeg_c = _inv_degrees(ca, cb2, nb)
+    else:
+        invdeg_c = jnp.ones((B, nb), jnp.float32)
+    invdeg = jnp.stack([invdeg_con, invdeg_h, invdeg_c],
+                       axis=1).reshape(B, 3 * nb)            # cols t*N+n
+
+    con_ts = _pack_contacts(c, metas)
+
+    gats, scas = [], []
+    for pg, kg, ba, bb in metas:
+        gat = np.zeros((2 * pg, nb), np.float32)
+        gat[np.arange(pg), ba] = 1.0
+        gat[pg + np.arange(pg), bb] = 1.0
+        gats.append(jnp.asarray(gat))
+        scas.append(jnp.asarray(gat.T.copy()))
+
+    h = prepped.hinge
+    hinge_t = None
+    if hinge_ab:
+        extra = [h.inv_eff_trans_mass[..., i, j]
+                 for i in range(3) for j in range(3)]
+        extra += [h.inv_eff_rot_mass[..., 0, 0], h.inv_eff_rot_mass[..., 0, 1],
+                  h.inv_eff_rot_mass[..., 1, 0], h.inv_eff_rot_mass[..., 1, 1]]
+        extra += [h.rotation_bias[..., 0], h.rotation_bias[..., 1]]
+        hinge_t = _pack_joint(h, HINGE_VECS, HINGE_SCALS, extra)
+
+    ctp = prepped.cone_twist
+    ct_t = None
+    if ct_ab:
+        extra = [ctp.inv_eff_mass[..., i, j]
+                 for i in range(3) for j in range(3)]
+        ct_t = _pack_joint(ctp, CT_VECS, CT_SCALS, extra)
+
+    # ---- pallas call ------------------------------------------------------
+    kernel = _make_kernel(metas, hinge_ab, ct_ab, nb, num_iterations, omega)
+
+    def bspec(cols):
+        return pl.BlockSpec((CB, cols), (lambda ch: (ch, 0)),
+                            memory_space=pltpu.VMEM)
+
+    def const_spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, (lambda ch, _nd=nd: (0,) * _nd),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [bspec(6 * nb), bspec(nb), bspec(9 * nb), bspec(3 * nb)]
+    inputs = [vw, invm, invI, invdeg]
+    max_cols = 0
+    for g, (pg, kg, _a, _b) in enumerate(metas):
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        inputs.append(con_ts[g])
+        in_specs += [const_spec((2 * pg, nb)), const_spec((nb, 2 * pg))]
+        inputs += [gats[g], scas[g]]
+        max_cols = max(max_cols, _con_slices(pg, kg) * pg)
+    if hinge_ab:
+        in_specs.append(bspec(len(hinge_ab) * HINGE_ROWS))
+        inputs.append(hinge_t)
+    if ct_ab:
+        in_specs.append(bspec(len(ct_ab) * CT_ROWS))
+        inputs.append(ct_t)
+
+    out_shapes = [jax.ShapeDtypeStruct((B, 6 * nb), jnp.float32)]
+    out_specs = [bspec(6 * nb)]
+    for pg, kg, _a, _b in metas:
+        out_shapes.append(jax.ShapeDtypeStruct((B, kg * pg), jnp.float32))
+        out_specs.append(bspec(kg * pg))
+
+    scratch_shapes = [
+        pltpu.VMEM((_round128(_con_slices(pg, kg) * pg), CB), jnp.float32)
+        for pg, kg, _a, _b in metas]
+    scratch_shapes.append(pltpu.VMEM((CB, _round128(max_cols)), jnp.float32))
+    scratch_shapes.append(pltpu.SemaphoreType.DMA)
+
+    interpret = jax.default_backend() != "tpu"
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_chunks,),
+        out_shape=tuple(out_shapes),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        scratch_shapes=scratch_shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(*inputs)
+
+    vw_out = outs[0].reshape(B, 6, nb)                # cols c*N+n
+    vw_out = jnp.transpose(vw_out, (0, 2, 1))         # (B, N, 6)
+    v_new, w_new = vw_out[..., :3], vw_out[..., 3:]
+
+    # reassemble (B, P_total, 4) accumulated normal impulses
+    imps = []
+    for g, (pg, kg, _a, _b) in enumerate(metas):
+        x = outs[1 + g].reshape(B, kg, pg)
+        x = jnp.transpose(x, (0, 2, 1))               # (B, Pg, K)
+        if kg < 4:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, 4 - kg)))
+        imps.append(x)
+    imp_n = jnp.concatenate(imps, axis=1)
+    return v_new, w_new, imp_n
+
+
+def make_fused_solver(scene, num_iterations, omega=1.0):
+    """Returns fn(bodies, prepped) -> (v, w, contact_imp_n).
+
+    The returned function is a jax.custom_batching.custom_vmap: called
+    unbatched (a single env) it runs the XLA jacobi path; under vmap the
+    whole env batch enters the fused kernel. physics_step stays per-env
+    code — the batch dimension the caller's vmap introduces is what the
+    kernel consumes."""
+    from dxk_tpu.ops.solver import solve_constraints
+
+    @jax.custom_batching.custom_vmap
+    def fused(bodies, prepped):
+        out_bodies, imp = solve_constraints(bodies, prepped, num_iterations,
+                                            "jacobi", omega)
+        return out_bodies.v, out_bodies.w, imp
+
+    @fused.def_vmap
+    def _fused_vmap(axis_size, in_batched, bodies, prepped):
+        # leaves that are scene constants (inv_mass, static tables) arrive
+        # unbatched — broadcast them so the packer sees uniform (B, ...)
+        def bc(x, b):
+            return x if b else jnp.broadcast_to(
+                jnp.asarray(x), (axis_size, *jnp.shape(x)))
+        bodies = jax.tree_util.tree_map(bc, bodies, in_batched[0])
+        prepped = jax.tree_util.tree_map(bc, prepped, in_batched[1])
+        v, w, imp = fused_solve_batched(scene, bodies, prepped,
+                                        num_iterations, omega)
+        return (v, w, imp), (True, True, True)
+
+    return fused

@@ -86,9 +86,12 @@ def _kselect_kernel(num_phases, k_sel,
     st_i = owner_i == 1
     st_j = owner_j == 1
     # pair placement: dd pairs in the lower-indexed row; sd pairs in the
-    # dynamic row (statics can overlap everything — e.g. the ground)
-    placed = jnp.where(rb_i & rb_j, jj > ii, rb_i & st_j)
-    allowed = placed & ~(rb_i & rb_j & (body_i == body_j))
+    # dynamic row (statics can overlap everything — e.g. the ground).
+    # Written as and/or over the mutually exclusive dd/sd cases: a
+    # bool-valued jnp.where lowers to an i8->i1 trunci Mosaic rejects.
+    dd = rb_i & rb_j
+    placed = (dd & (jj > ii)) | (rb_i & st_j)
+    allowed = placed & ~(dd & (body_i == body_j))
 
     # contact phase hash (builder.finalize contact_phases): chains/stacks
     # become conflict-free Gauss-Seidel slices

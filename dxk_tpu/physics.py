@@ -154,6 +154,7 @@ def physics_step(scene: Scene, state: State, settings: PhysicsSettings,
         kselect, num_overlaps, row_dropped = kselect_group_pairs(scene, mn, mx)
         num_dropped = num_dropped + row_dropped
 
+    selected = []
     for gi in order:
         group = scene.pair_groups[gi]
         if kselect is not None:
@@ -164,25 +165,49 @@ def physics_step(scene: Scene, state: State, settings: PhysicsSettings,
             pairs, mask, dropped = compact_pairs(group.pairs, mask,
                                                  group.max_narrow)
         num_dropped = num_dropped + dropped
+        selected.append((gi, group, pairs, mask))
 
-        pts, dps, nrm, cnt, hit = _contacts_for_group(scene, w, group, pairs, mask)
-        ia, ib = pairs[:, 0], pairs[:, 1]
+    # ONE narrowphase launch per (typeA, typeB) bucket: same-type groups
+    # (the contact-phase splits of one bucket) are concatenated for the
+    # contact kernels and split back after — phases only matter to the
+    # SOLVER's slice order, not to narrowphase, and K phase-sized launches
+    # of the same kernel waste dispatch latency vs one K-times-larger one.
+    buckets = {}
+    for item in selected:
+        buckets.setdefault((item[1].type_a, item[1].type_b), []).append(item)
+    narrow = {}
+    from dxk_tpu.ops.tpu_gather import onehot_gather_1d as _og1
+    for (ta, tb), items in buckets.items():
+        cat_pairs = (items[0][2] if len(items) == 1
+                     else jnp.concatenate([it[2] for it in items]))
+        cat_mask = (items[0][3] if len(items) == 1
+                    else jnp.concatenate([it[3] for it in items]))
+        out = _contacts_for_group(scene, w, items[0][1], cat_pairs, cat_mask)
+        ia, ib = cat_pairs[:, 0], cat_pairs[:, 1]
         # friction/restitution combine (collision_narrow.cpp:2234-2237)
-        from dxk_tpu.ops.tpu_gather import onehot_gather_1d as _og1
         fric = jnp.clip(jnp.sqrt(_og1(w.friction, ia) * _og1(w.friction, ib)),
                         0.0, 1.0)
         rest = jnp.clip(jnp.maximum(_og1(w.restitution, ia),
                                     _og1(w.restitution, ib)), 0.0, 1.0)
+        body_a = _og1(w.body, ia)
+        body_b = _og1(w.body, ib)
+        fields = (*out, body_a, body_b, fric, rest)
+        off = 0
+        for gi, _g, p, _m in items:
+            n = p.shape[0]
+            narrow[gi] = tuple(x[off:off + n] for x in fields)
+            off += n
 
+    for gi, group, pairs, mask in selected:
+        pts, dps, nrm, cnt, hit, body_a, body_b, fric, rest = narrow[gi]
         all_pts.append(pts)
         all_dps.append(dps)
         all_nrm.append(nrm)
         all_cnt.append(cnt)
         all_hit.append(hit)
         all_cpairs.append(pairs)
-        from dxk_tpu.ops.tpu_gather import onehot_gather_1d as _ogi
-        all_body_a.append(_ogi(w.body, ia))
-        all_body_b.append(_ogi(w.body, ib))
+        all_body_a.append(body_a)
+        all_body_b.append(body_b)
         all_fric.append(fric)
         all_rest.append(rest)
         phase_sizes[group.phase] = (phase_sizes.get(group.phase, 0)
@@ -277,9 +302,23 @@ def physics_step(scene: Scene, state: State, settings: PhysicsSettings,
     if tracker is not None:
         tracker.check("body_velocities", (bodies.v, bodies.w))
         tracker.check("constraint_prep", prepped)
-    bodies, contact_imp_n = solve_constraints(
-        bodies, prepped, settings.num_rigid_solver_iterations,
-        settings.solver_mode, settings.sor_omega)
+    fused = None
+    if settings.solver_mode == "fused":
+        from dxk_tpu.ops.pallas.batched_solver import (fused_eligible,
+                                                       make_fused_solver)
+        if fused_eligible(scene, prepped):
+            fused = make_fused_solver(
+                scene, settings.num_rigid_solver_iterations,
+                settings.sor_omega)
+    if fused is not None:
+        v, w, contact_imp_n = fused(bodies, prepped)
+        bodies = bodies.replace(v=v, w=w)
+    else:
+        mode = ("jacobi" if settings.solver_mode == "fused"
+                else settings.solver_mode)
+        bodies, contact_imp_n = solve_constraints(
+            bodies, prepped, settings.num_rigid_solver_iterations,
+            mode, settings.sor_omega)
     if tracker is not None:
         tracker.check("solved_velocities", (bodies.v, bodies.w))
 

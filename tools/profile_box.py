@@ -38,8 +38,8 @@ def main():
     from dxk_tpu.ops.broadphase import aabb_overlap_mask, compact_pairs
     from dxk_tpu.ops import narrowphase as np_ops
 
-    num_boxes = 1024
-    batch = 8
+    num_boxes = int(os.environ.get("BOXES", "1024"))
+    batch = int(os.environ.get("BATCH", "8"))
     phases = int(os.environ.get("PHASES", "4"))
 
     b = SceneBuilder()

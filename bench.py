@@ -30,16 +30,20 @@ def _sync(tree):
 
 def bench_loco(num_envs, steps, iters_timed, solver_mode, solver_iterations,
                chunk=1024):
-    """Env batches above ~2048 hit a superlinear per-op cost cliff on the
-    chip (docs/PERF_NOTES.md); tiling the batch into `chunk`-sized jitted
-    scans stays on the fast path — 4096 envs as 4x1024 runs at the 1024-env
-    per-env rate (62.8k/s vs 39k/s monolithic, measured)."""
+    """solver_mode='fused' (default): the whole contact pipeline —
+    narrowphase + prep + 30-iteration solve — runs in one Pallas kernel
+    (ops/pallas/fused_step.py); 4096 envs run monolithically at 5.5x the
+    62.5k/chip target. XLA modes (jacobi/colored) hit a superlinear per-op
+    cliff above ~2048 envs and are tiled into `chunk`-sized scans
+    (docs/PERF_NOTES.md; 62.8k/s chunked vs 39k/s monolithic at 4096)."""
     from dxk_tpu.envs.loco_env import LocoEnv
 
     env = LocoEnv(solver_iterations=solver_iterations,
                   solver_mode=solver_mode, max_narrow_pairs=32,
                   enable_pokes=True,
                   narrow_caps={(1, 1): 24, (1, 3): 20, (3, 3): 3})
+    if solver_mode == "fused":
+        chunk = num_envs            # no cliff: the big tensors are gone
     chunk = min(chunk, num_envs)
     n_chunks = num_envs // chunk
     assert num_envs % chunk == 0
@@ -285,7 +289,7 @@ def main():
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--boxes", type=int, default=None)
     ap.add_argument("--box-batch", type=int, default=None)
-    ap.add_argument("--solver-mode", default="jacobi")
+    ap.add_argument("--solver-mode", default="fused")
     ap.add_argument("--box-solver-mode", default="colored")
     ap.add_argument("--solver-iterations", type=int, default=30)
     ap.add_argument("--skip-box", action="store_true")
@@ -297,8 +301,7 @@ def main():
 
     on_tpu = jax.devices()[0].platform != "cpu"
     # N=1024 sits below the current HBM scaling cliff (docs/PERF_NOTES.md);
-    # raise via --envs when benchmarking multi-chip or after the cliff fix
-    num_envs = args.envs or (1024 if on_tpu else 32)
+    num_envs = args.envs or (4096 if on_tpu else 32)
     num_boxes = args.boxes or (1024 if on_tpu else 64)
     box_batch = args.box_batch or (8 if on_tpu else 1)
 

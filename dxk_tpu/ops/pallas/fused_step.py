@@ -1,0 +1,975 @@
+"""Fused contact pipeline: narrowphase + prep + 30-iteration solve with
+nothing but collider params and body state crossing HBM.
+
+Motivation (docs/PERF_NOTES.md round 2): at 1024 envs the XLA
+narrowphase+prep for the locomotion scene costs ~12 ms capped / ~28 ms at
+the static tables the fused solver kernel needs — 4-40x the cost of the
+fused solve itself (0.7 ms). The fix is to move narrowphase and prep INTO
+the kernel: world collider params (a few KB per env) go in, solved
+velocities come out, and every (B, P, 4, 3) intermediate disappears.
+
+Architecture: `_fused_core` is a pure-jnp function over component-major
+arrays (pairs on sublanes, env lanes minor — core/soa.py layout). It runs
+unchanged in two places:
+
+  - inside the Pallas kernel (one 128-env chunk per grid step), where its
+    inputs are VMEM blocks — this is the fast path;
+  - as the plain-XLA unbatched fallback of the custom_vmap wrapper.
+
+Contact recipes come from cm_narrowphase.py (tested against the canonical
+AoS narrowphase). Pair groups whose shape pair has no cm recipe fall back
+to XLA narrowphase+prep per group, passed in packed (the loco scene's 3
+box-box pairs ride this path while its 144 capsule pairs are in-kernel).
+
+Solve semantics = solver_mode "jacobi" (see batched_solver.py docstring);
+the solve functions are shared with it.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dxk_tpu.ops.pallas import cm_narrowphase as cm
+from dxk_tpu.ops.pallas.batched_solver import (
+    CB, CT_ROWS, HINGE_ROWS, TYPE_MAX_POINTS, _acc, _apply_delta,
+    _contact_point, _cone_twist_one, _ct_field_rows, _hinge_field_rows,
+    _hinge_one, _mxu_t, _round128, _sub, _pack_joint, HINGE_VECS,
+    HINGE_SCALS, CT_VECS, CT_SCALS)
+
+# collider param pack: 11 floats per collider, param-major columns
+# [a(3) | b(3) | r | rot(4)]  (WorldColliders fields; b = endpoint for
+# capsules, half-extents for boxes)
+COL_PARAMS = 11
+
+CM_RECIPES = {(0, 0), (1, 1), (1, 3)}   # sphere-sphere, cap-cap, cap-box
+
+
+def fused2_eligible(scene) -> bool:
+    """Fused-pipeline eligibility: static tables, supported joints, no
+    heightfield/cloth contacts in the solve. Groups without a cm recipe
+    are fine (they ride the prep-passed path)."""
+    if scene.heightfield is not None:
+        return False
+    for name in ("distance", "ball", "fixed", "slider"):
+        if getattr(scene, name) is not None:
+            return False
+    if scene.broadphase_k > 0:
+        return False
+    if not scene.pair_groups:
+        return False
+    for g in scene.pair_groups:
+        if g.max_narrow != g.pairs.shape[0]:
+            return False
+    return True
+
+
+def _group_static(scene):
+    """Per-group static info: pair count, K, collider and body indices,
+    type pair, native?, friction/restitution constants."""
+    body_of = np.asarray(scene.colliders.body)
+    fric = np.asarray(scene.colliders.friction)
+    rest = np.asarray(scene.colliders.restitution)
+    out = []
+    for gi in sorted(range(len(scene.pair_groups)),
+                     key=lambda i: scene.pair_groups[i].phase):
+        g = scene.pair_groups[gi]
+        pairs = np.asarray(g.pairs)
+        ta, tb = int(g.type_a), int(g.type_b)
+        key = (min(ta, tb), max(ta, tb))
+        k = TYPE_MAX_POINTS.get(key, 4)
+        ca, cb2 = pairs[:, 0], pairs[:, 1]
+        pf = np.clip(np.sqrt(fric[ca] * fric[cb2]), 0.0, 1.0)
+        pr = np.clip(np.maximum(rest[ca], rest[cb2]), 0.0, 1.0)
+        out.append(dict(
+            pg=pairs.shape[0], k=k, ta=ta, tb=tb, native=key in CM_RECIPES,
+            col_a=ca.tolist(), col_b=cb2.tolist(),
+            body_a=body_of[ca].tolist(), body_b=body_of[cb2].tolist(),
+            fric=pf.astype(np.float32), rest=pr.astype(np.float32)))
+    return out
+
+
+# ===========================================================================
+# the shared core (pure jnp, comp-major, lanes minor)
+
+
+def _rows3(tab, base, n):
+    """rows [base*n : (base+1)*n] triple -> v3 of (n, L)."""
+    return tuple(tab[(base + i) * n:(base + i + 1) * n] for i in range(3))
+
+
+def _gather_params(onehot, cols_tab, L):
+    """(Pg, C) @ (C, 11L) -> per-param (Pg, L) views."""
+    g = jax.lax.dot_general(onehot, cols_tab,
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    return [g[:, i * L:(i + 1) * L] for i in range(COL_PARAMS)]
+
+
+def _narrow_native(meta, pa, pb):
+    """Dispatch a cm recipe. pa/pb: 11-param lists (a3, b3, r, q4) per
+    side, ordered so side a has the LOWER shape type (the builder's
+    bucketing guarantee). Returns (pts[K] v3, dps[K], normal, mask[K])."""
+    ta, tb = meta["ta"], meta["tb"]
+    a3 = tuple(pa[0:3])
+    b3a = tuple(pa[3:6])
+    ra = pa[6]
+    a3b = tuple(pb[0:3])
+    b3b = tuple(pb[3:6])
+    rb = pb[6]
+    qb = tuple(pb[7:11])
+    key = (min(ta, tb), max(ta, tb))
+    if key == (0, 0):
+        p, d, n, h = cm.sphere_sphere_cm(a3, ra, a3b, rb)
+        return [p], [d], n, [h]
+    if key == (1, 1):
+        return cm.capsule_capsule_cm(a3, b3a, ra, a3b, b3b, rb)
+    if key == (1, 3):
+        return cm.capsule_box_cm(a3, b3a, ra, a3b, b3b, qb)
+    raise AssertionError(f"no cm recipe for {key}")
+
+
+def _prep_points(pts, dps, normal, masks, meta, gat, pos_tab, invI_tab,
+                 invm_tab, vw, nbody, L, inv_dt, fric_c, rest_c):
+    """Port of solver.prep_contacts to comp-major rows. fric_c/rest_c:
+    (Pg, 1) static per-pair material constants. Returns the per-point field
+    tuples the shared contact solve consumes + the pair inv masses."""
+    pg = meta["pg"]
+
+    # per-side body data, gathered once (static incidence matmul)
+    def gmm(tab):
+        return jax.lax.dot_general(
+            gat, tab, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    pos = gmm(pos_tab)               # (2Pg, 3L)
+    vwp = gmm(vw)                    # (2Pg, 6L)
+    inert = gmm(invI_tab)            # (2Pg, 9L)
+    invm2 = gmm(invm_tab)            # (2Pg, L)
+
+    def comps(x, s, ncomp):
+        blk = x[s * pg:(s + 1) * pg]
+        return tuple(blk[:, c * L:(c + 1) * L] for c in range(ncomp))
+
+    pa = comps(pos, 0, 3)
+    pb = comps(pos, 1, 3)
+    va = comps(vwp, 0, 6)[0:3]
+    wa = tuple(comps(vwp, 0, 6)[3:6])
+    vb = comps(vwp, 1, 6)[0:3]
+    wb = tuple(comps(vwp, 1, 6)[3:6])
+    ia = comps(inert, 0, 9)
+    ib = comps(inert, 1, 9)
+    inv_ma = invm2[0 * pg:1 * pg]
+    inv_mb = invm2[1 * pg:2 * pg]
+
+    def matvec(m, v):
+        return (m[0]*v[0] + m[1]*v[1] + m[2]*v[2],
+                m[3]*v[0] + m[4]*v[1] + m[5]*v[2],
+                m[6]*v[0] + m[7]*v[1] + m[8]*v[2])
+
+    out = []
+    imp_shape = None
+    for k in range(meta["k"]):
+        point = pts[k]
+        depth = dps[k]
+        mask = masks[k].astype(jnp.float32)
+        rel_a = cm._sub(point, pa)
+        rel_b = cm._sub(point, pb)
+        av = cm._add(tuple(va), cm._cross(wa, rel_a))
+        bv = cm._add(tuple(vb), cm._cross(wb, rel_b))
+        rel_v = cm._sub(bv, av)
+        vn0 = cm._dot(normal, rel_v)
+        t_raw = cm._sub(rel_v, cm._muls(normal, vn0))
+        # noz (maths.py): zero vector below epsilon, else normalized
+        tl = jnp.sqrt(jnp.maximum(cm._sqlen(t_raw), 0.0))
+        ok = tl > 1e-6
+        tangent = tuple(jnp.where(ok, c / jnp.maximum(tl, 1e-30), 0.0)
+                        for c in t_raw)
+
+        cr_at = cm._cross(rel_a, tangent)
+        cr_bt = cm._cross(rel_b, tangent)
+        im_t = (inv_ma + inv_mb + cm._dot(cr_at, matvec(ia, cr_at))
+                + cm._dot(cr_bt, matvec(ib, cr_bt)))
+        eff_t = jnp.where(im_t != 0.0,
+                          1.0 / jnp.where(im_t != 0.0, im_t, 1.0),
+                          0.0) * mask
+
+        cr_an = cm._cross(rel_a, normal)
+        cr_bn = cm._cross(rel_b, normal)
+        im_n = (inv_ma + inv_mb + cm._dot(cr_an, matvec(ia, cr_an))
+                + cm._dot(cr_bn, matvec(ib, cr_bn)))
+        eff_n = jnp.where(im_n != 0.0,
+                          1.0 / jnp.where(im_n != 0.0, im_n, 1.0),
+                          0.0) * mask
+
+        slop = -0.001
+        active = (-depth < slop) & (vn0 < 0.0)
+        bias = jnp.where(active,
+                         -rest_c * vn0 - 0.1 * (-depth - slop) * inv_dt,
+                         0.0)
+
+        cv = (rel_a, rel_b, normal, tangent,
+              matvec(ia, cr_an), matvec(ib, cr_bn),
+              matvec(ia, cr_at), matvec(ib, cr_bt))
+        cs = (eff_n, eff_t, bias, fric_c * mask)
+        out.append((cv, cs))
+        imp_shape = eff_n.shape
+    return out, inv_ma, inv_mb, imp_shape
+
+
+def _fused_core(metas, hinge_ab, ct_ab, nbody, L, num_iterations, omega,
+                inv_dt,
+                vw0, invm_t, invI_t, pos_t, idg_h2, idg_c2,
+                cols_tab, group_onehots, group_incidence, group_fricrest,
+                passed_preps, hinge_t, ct_t):
+    """The whole contact pipeline on comp-major arrays with L env lanes.
+
+    vw0 (NB, 6L); invm_t (NB, L); invI_t (9NB, L); pos_t (3NB, L);
+    idg_joint: (2, NB, L) hinge/ct inverse degrees; cols_tab (C, 11L);
+    group_onehots[g] = (Ga (Pg,C), Gb (Pg,C)) or None for passed groups;
+    group_incidence[g] = (gat (2Pg, NB), sca (NB, 2Pg));
+    passed_preps[g] = per-point ((cv, cs)) list + (inv_ma, inv_mb) or None;
+    hinge_t (H*RH, L)/None, ct_t likewise.
+
+    Returns (vw (NB, 6L), imp_n per group list[K of (Pg, L)],
+    live per group (Pg, L) bool)."""
+
+    # body tables in matmul form: (NB, xL), comp-major lanes
+    invI_tab = jnp.concatenate(
+        [invI_t[i * nbody:(i + 1) * nbody] for i in range(9)], axis=1)
+    pos_tab = jnp.concatenate(
+        [pos_t[i * nbody:(i + 1) * nbody] for i in range(3)], axis=1)
+    invm_tab = invm_t
+
+    # ---- narrowphase + prep per group (once per step) ---------------------
+    group_fields = []
+    group_live = []
+    for g, meta in enumerate(metas):
+        gat, _sca = group_incidence[g]
+        if meta["native"]:
+            ga, gb = group_onehots[g]
+            pa = _gather_params(ga, cols_tab, L)
+            pb = _gather_params(gb, cols_tab, L)
+            pts, dps, normal, masks = _narrow_native(meta, pa, pb)
+            fr, re = group_fricrest[g]
+            fields, inv_ma, inv_mb, _ = _prep_points(
+                pts, dps, normal, masks, meta, gat, pos_tab, invI_tab,
+                invm_tab, vw0, nbody, L, inv_dt, fr, re)
+            live = masks[0]
+            for m in masks[1:]:
+                live = live | m
+        else:
+            fields, inv_ma, inv_mb, live = passed_preps[g]
+        group_fields.append((fields, inv_ma, inv_mb))
+        group_live.append(live)
+
+    # ---- contact inverse degrees from live pairs --------------------------
+    deg = jnp.zeros((nbody, L), jnp.float32)
+    for g, meta in enumerate(metas):
+        _gat, sca = group_incidence[g]
+        lv = group_live[g].astype(jnp.float32)
+        both = jnp.concatenate([lv, lv], axis=0)          # (2Pg, L)
+        deg = deg + jax.lax.dot_general(
+            sca, both, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    inv_deg_con = jnp.concatenate(
+        [1.0 / jnp.maximum(deg, 1.0)] * 6, axis=1)        # (NB, 6L)
+    inv_deg_h = jnp.concatenate([idg_h2] * 6, axis=1)
+    inv_deg_c = jnp.concatenate([idg_c2] * 6, axis=1)
+
+    def body_row(vw, n):
+        return [vw[n, c * L:(c + 1) * L] for c in range(6)]
+
+    def inv_I(n):
+        return tuple(invI_t[i * nbody + n, :] for i in range(9))
+
+    def one_iteration(_i, carry):
+        vw, con_imps, hinge_imps, ct_imps = carry
+
+        if hinge_ab:
+            delta = {}
+            h_lim, h_mot = hinge_imps
+            new_lim, new_mot = [], []
+            for j, (a, b) in enumerate(hinge_ab):
+                ra = body_row(vw, a)
+                rb = body_row(vw, b)
+                va, wa = tuple(ra[0:3]), tuple(ra[3:6])
+                vb, wb = tuple(rb[0:3]), tuple(rb[3:6])
+                f = _hinge_field_rows(hinge_t, j)
+                nva, nwa, nvb, nwb, li, mi = _hinge_one(
+                    f, invm_t[a, :], invm_t[b, :], inv_I(a), inv_I(b),
+                    va, wa, vb, wb, h_lim[j], h_mot[j])
+                _acc(delta, a, _sub(nva, va), _sub(nwa, wa))
+                _acc(delta, b, _sub(nvb, vb), _sub(nwb, wb))
+                new_lim.append(li)
+                new_mot.append(mi)
+            vw = _apply_delta(vw, delta, inv_deg_h, omega)
+            hinge_imps = (new_lim, new_mot)
+
+        if ct_ab:
+            delta = {}
+            c_sw, c_tw, c_sm, c_tm = ct_imps
+            n_sw, n_tw, n_sm, n_tm = [], [], [], []
+            for j, (a, b) in enumerate(ct_ab):
+                ra = body_row(vw, a)
+                rb = body_row(vw, b)
+                va, wa = tuple(ra[0:3]), tuple(ra[3:6])
+                vb, wb = tuple(rb[0:3]), tuple(rb[3:6])
+                f = _ct_field_rows(ct_t, j)
+                (nva, nwa, nvb, nwb, si, ti, smi, tmi) = _cone_twist_one(
+                    f, invm_t[a, :], invm_t[b, :], inv_I(a), inv_I(b),
+                    va, wa, vb, wb, c_sw[j], c_tw[j], c_sm[j], c_tm[j])
+                _acc(delta, a, _sub(nva, va), _sub(nwa, wa))
+                _acc(delta, b, _sub(nvb, vb), _sub(nwb, wb))
+                n_sw.append(si)
+                n_tw.append(ti)
+                n_sm.append(smi)
+                n_tm.append(tmi)
+            vw = _apply_delta(vw, delta, inv_deg_c, omega)
+            ct_imps = (n_sw, n_tw, n_sm, n_tm)
+
+        all_deltas = jnp.zeros_like(vw)
+        new_con_imps = []
+        for g, meta in enumerate(metas):
+            pg = meta["pg"]
+            gat, sca = group_incidence[g]
+            fields, inv_ma, inv_mb = group_fields[g]
+            u = jax.lax.dot_general(
+                gat, vw, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (2Pg, 6L)
+
+            def comp(x, c):
+                return x[:, c * L:(c + 1) * L]
+
+            va = tuple(comp(u[:pg], c) for c in range(3))
+            wa = tuple(comp(u[:pg], c + 3) for c in range(3))
+            vb = tuple(comp(u[pg:], c) for c in range(3))
+            wb = tuple(comp(u[pg:], c + 3) for c in range(3))
+            va0, wa0, vb0, wb0 = va, wa, vb, wb
+            imp_n, imp_t = con_imps[g]
+            nn, tt = [], []
+            for k in range(meta["k"]):
+                cv, cs = fields[k]
+                va, wa, vb, wb, ik_n, ik_t = _contact_point(
+                    cv, cs, inv_ma, inv_mb, va, wa, vb, wb,
+                    imp_n[k], imp_t[k])
+                nn.append(ik_n)
+                tt.append(ik_t)
+            new_con_imps.append((nn, tt))
+            da = list(_sub(va, va0)) + list(_sub(wa, wa0))
+            db = list(_sub(vb, vb0)) + list(_sub(wb, wb0))
+            d = jnp.concatenate(
+                [jnp.concatenate(da, axis=1),
+                 jnp.concatenate(db, axis=1)], axis=0)       # (2Pg, 6L)
+            all_deltas = all_deltas + jax.lax.dot_general(
+                sca, d, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        vw = vw + all_deltas * (omega * inv_deg_con)
+        return vw, tuple(new_con_imps), hinge_imps, ct_imps
+
+    zero = jnp.zeros((L,), jnp.float32)
+    con0 = tuple(
+        ([jnp.zeros((m["pg"], L), jnp.float32) for _ in range(m["k"])],
+         [jnp.zeros((m["pg"], L), jnp.float32) for _ in range(m["k"])])
+        for m in metas)
+    hinge0 = ([zero for _ in hinge_ab], [zero for _ in hinge_ab])
+    ct0 = tuple([zero for _ in ct_ab] for _ in range(4))
+
+    vw, con_imps, _h, _c = jax.lax.fori_loop(
+        0, num_iterations, one_iteration, (vw0, con0, hinge0, ct0))
+    imp_out = [con_imps[g][0] for g in range(len(metas))]
+    return vw, imp_out, group_live
+
+
+# ===========================================================================
+# kernel + packing + custom_vmap
+
+
+def _scratch_reader(sc, meta, L):
+    """Rebuild the passed-prep field structure from a v1-packed scratch
+    (rows ordered (k, field, comp)-major, pair minor — see
+    batched_solver._pack_contacts)."""
+    pg, kg = meta["pg"], meta["k"]
+    nvec = kg * 8 * 3
+    fields = []
+    for k in range(kg):
+        cv = []
+        for fi in range(8):
+            base = (k * 8 + fi) * 3
+            cv.append(tuple(sc[(base + c) * pg:(base + c + 1) * pg, :]
+                            for c in range(3)))
+        cs = tuple(sc[(nvec + k * 4 + si) * pg:(nvec + k * 4 + si + 1) * pg,
+                      :] for si in range(4))
+        fields.append((tuple(cv), cs))
+    inv_ma = sc[(nvec + kg * 4) * pg:(nvec + kg * 4 + 1) * pg, :]
+    inv_mb = sc[(nvec + kg * 4 + 1) * pg:(nvec + kg * 4 + 2) * pg, :]
+    live = fields[0][1][0] > 0.0            # eff_mass_n of point 0
+    for k in range(1, kg):
+        live = live | (fields[k][1][0] > 0.0)
+    return (fields, inv_ma, inv_mb, live)
+
+
+def _pack_passed(prep_slice, pg, kg):
+    """(B, S*Pg)-packed prep for one prep-passed group (the v1 layout)."""
+    c = prep_slice
+    parts = []
+    from dxk_tpu.ops.pallas.batched_solver import SCAL_FIELDS, VEC_FIELDS
+    for k in range(kg):
+        for f in VEC_FIELDS:
+            v = getattr(c, f)
+            for ci in range(3):
+                parts.append(v[:, :, k, ci])
+    for k in range(kg):
+        for f in SCAL_FIELDS:
+            parts.append(getattr(c, f)[:, :, k])
+    parts.append(c.inv_ma)
+    parts.append(c.inv_mb)
+    t = jnp.stack(parts, axis=1)                 # (B, S, Pg)
+    t = t.reshape(t.shape[0], -1)
+    pad = _round128(t.shape[1]) - t.shape[1]
+    if pad:
+        t = jnp.pad(t, ((0, 0), (0, pad)))
+    return t
+
+
+def _static_joint_invdeg(scene, nbody):
+    """Joint degrees are scene constants."""
+    out = np.ones((2, nbody), np.float32)
+    for row, joint in ((0, scene.hinge), (1, scene.cone_twist)):
+        if joint is None:
+            continue
+        deg = np.zeros(nbody, np.float32)
+        for n in np.asarray(joint.body_a):
+            deg[n] += 1
+        for n in np.asarray(joint.body_b):
+            deg[n] += 1
+        out[row] = 1.0 / np.maximum(deg, 1.0)
+    return out
+
+
+def _make_kernel2(metas, hinge_ab, ct_ab, nb, ncol, num_iterations, omega):
+    n_groups = len(metas)
+    passed = [m for m in metas if not m["native"]]
+
+    # static constants baked at trace time
+    def np_onehot(idx, n):
+        oh = np.zeros((len(idx), n), np.float32)
+        oh[np.arange(len(idx)), idx] = 1.0
+        return oh
+
+    def kernel(*refs):
+        it = iter(refs)
+        invdt_ref = next(it)                   # (1, 1) SMEM
+        vw_ref = next(it)                      # (CB, 6N)
+        invm_ref = next(it)                    # (CB, N)
+        invI_ref = next(it)                    # (CB, 9N)
+        pos_ref = next(it)                     # (CB, 3N)
+        col_ref = next(it)                     # (CB, 11C)
+        g_gat, g_sca, g_oh = [], [], []
+        g_passed_hbm = []
+        for m in metas:
+            g_gat.append(next(it))
+            g_sca.append(next(it))
+            if m["native"]:
+                g_oh.append((next(it), next(it)))
+            else:
+                g_oh.append(None)
+                g_passed_hbm.append(next(it))
+        hinge_ref = next(it) if hinge_ab else None
+        ct_ref = next(it) if ct_ab else None
+        vw_out = next(it)
+        imp_outs = [next(it) for _ in range(n_groups)]
+        live_outs = [next(it) for _ in range(n_groups)]
+        scratches = [next(it) for _ in passed]
+        bounce = next(it) if passed else None
+        sem = next(it) if passed else None
+
+        chunk = pl.program_id(0)
+        inv_dt = invdt_ref[0, 0]
+
+        # stage prep-passed groups (DMA + MXU transpose)
+        pi = 0
+        passed_read = {}
+        for g, m in enumerate(metas):
+            if m["native"]:
+                continue
+            cols_p = scratches[pi].shape[0]
+            cp = pltpu.make_async_copy(
+                g_passed_hbm[pi].at[pl.ds(chunk * CB, CB), :],
+                bounce.at[:, pl.ds(0, cols_p)], sem)
+            cp.start()
+            cp.wait()
+            scratches[pi][:, :] = _mxu_t(bounce[:, :cols_p])
+            passed_read[g] = _scratch_reader(scratches[pi], m, CB)
+            pi += 1
+
+        vw_t = _mxu_t(vw_ref[:, :])
+        invm_t = _mxu_t(invm_ref[:, :])
+        invI_t = _mxu_t(invI_ref[:, :])
+        pos_t = _mxu_t(pos_ref[:, :])
+        col_t = _mxu_t(col_ref[:, :])          # (11C, CB)
+        hinge_t = _mxu_t(hinge_ref[:, :]) if hinge_ref is not None else None
+        ct_t = _mxu_t(ct_ref[:, :]) if ct_ref is not None else None
+
+        vw0 = jnp.concatenate(
+            [vw_t[c * nb:(c + 1) * nb] for c in range(6)], axis=1)
+        cols_tab = jnp.concatenate(
+            [col_t[i * ncol:(i + 1) * ncol] for i in range(COL_PARAMS)],
+            axis=1)                            # (C, 11CB)
+
+        idg = jnp.asarray(kernel.idg_joint[:, :, None])
+        idg_joint = jnp.broadcast_to(idg, (2, nb, CB))
+
+        onehots = [
+            (g_oh[g][0][:, :], g_oh[g][1][:, :]) if m["native"] else None
+            for g, m in enumerate(metas)]
+        incidence = [(g_gat[g][:, :], g_sca[g][:, :])
+                     for g in range(n_groups)]
+        passed_preps = [passed_read.get(g) for g in range(n_groups)]
+
+        vw, imp_out, live = _fused_core(
+            metas, hinge_ab, ct_ab, nb, CB, num_iterations, omega, inv_dt,
+            vw0, invm_t, invI_t, pos_t, idg_joint,
+            cols_tab, onehots, incidence, passed_preps, hinge_t, ct_t)
+
+        out_rows = jnp.concatenate(
+            [vw[:, c * CB:(c + 1) * CB] for c in range(6)], axis=0)
+        vw_out[:, :] = _mxu_t(out_rows)
+        for g, m in enumerate(metas):
+            rows = jnp.concatenate(imp_out[g], axis=0)       # (K*Pg, CB)
+            imp_outs[g][:, :] = _mxu_t(rows)
+            live_outs[g][:, :] = _mxu_t(live[g].astype(jnp.float32))
+
+    return kernel
+
+
+def _np_onehot(idx, n):
+    oh = np.zeros((len(idx), n), np.float32)
+    oh[np.arange(len(idx)), idx] = 1.0
+    return oh
+
+
+def _incidence(m, nb):
+    pg = m["pg"]
+    gat = np.zeros((2 * pg, nb), np.float32)
+    gat[np.arange(pg), m["body_a"]] = 1.0
+    gat[pg + np.arange(pg), m["body_b"]] = 1.0
+    return gat, gat.T.copy()
+
+
+def _joint_extra_hinge(h):
+    extra = [h.inv_eff_trans_mass[..., i, j]
+             for i in range(3) for j in range(3)]
+    extra += [h.inv_eff_rot_mass[..., 0, 0], h.inv_eff_rot_mass[..., 0, 1],
+              h.inv_eff_rot_mass[..., 1, 0], h.inv_eff_rot_mass[..., 1, 1]]
+    extra += [h.rotation_bias[..., 0], h.rotation_bias[..., 1]]
+    return extra
+
+
+def _joint_extra_ct(c):
+    return [c.inv_eff_mass[..., i, j] for i in range(3) for j in range(3)]
+
+
+def make_fused_step_solver(scene, num_iterations, omega=1.0):
+    """Returns fn(bodies, w_pack, hinge_prep, ct_prep, passed, inv_dt) ->
+    (v, w, imp_n (Ptot, 4), live (Ptot,)) per env, as a custom_vmap: the
+    vmapped call launches the fused kernel on the whole batch; the
+    unbatched call runs the identical `_fused_core` as plain XLA with one
+    env lane.
+
+    w_pack: (11, C) world collider params, param-major (see COL_PARAMS);
+    passed: tuple of ContactPrep slices for non-native groups, in group
+    order (empty tuple when all groups are native); inv_dt: () scalar."""
+    metas = _group_static(scene)
+    hinge_ab = (list(zip(np.asarray(scene.hinge.body_a).tolist(),
+                         np.asarray(scene.hinge.body_b).tolist()))
+                if scene.hinge is not None else [])
+    ct_ab = (list(zip(np.asarray(scene.cone_twist.body_a).tolist(),
+                      np.asarray(scene.cone_twist.body_b).tolist()))
+             if scene.cone_twist is not None else [])
+
+    @jax.custom_batching.custom_vmap
+    def fused(bodies, w_pack, hinge_prep, ct_prep, passed, inv_dt):
+        # ---- unbatched: _fused_core with one env lane (plain XLA)
+        nbl = bodies.v.shape[0]
+        ncol = w_pack.shape[1]
+        idg_np = _static_joint_invdeg(scene, nbl)
+        idg_h2 = jnp.asarray(idg_np[0])[:, None]
+        idg_c2 = jnp.asarray(idg_np[1])[:, None]
+
+        vw0 = jnp.concatenate([bodies.v, bodies.w], axis=1)       # (NB, 6)
+        invm_t = bodies.inv_mass[:, None]
+        invI_t = jnp.concatenate(
+            [bodies.inv_inertia[:, i // 3, i % 3][:, None]
+             for i in range(9)], axis=0)
+        pos_t = jnp.concatenate(
+            [bodies.pos_cog[:, i][:, None] for i in range(3)], axis=0)
+        cols_tab = jnp.transpose(w_pack, (1, 0))                  # (C, 11)
+
+        onehots, incidence = [], []
+        for m in metas:
+            gat, sca = _incidence(m, nbl)
+            incidence.append((jnp.asarray(gat), jnp.asarray(sca)))
+            onehots.append(
+                (jnp.asarray(_np_onehot(m["col_a"], ncol)),
+                 jnp.asarray(_np_onehot(m["col_b"], ncol)))
+                if m["native"] else None)
+        passed_fields = _passed_fields_unbatched(metas, passed)
+        fricrest = [
+            (jnp.asarray(m["fric"])[:, None], jnp.asarray(m["rest"])[:, None])
+            if m["native"] else None for m in metas]
+        hinge_t = (jnp.transpose(_pack_joint(
+            jax.tree_util.tree_map(lambda x: x[None], hinge_prep),
+            HINGE_VECS, HINGE_SCALS,
+            _joint_extra_hinge(jax.tree_util.tree_map(
+                lambda x: x[None], hinge_prep))), (1, 0))
+            if hinge_ab else None)
+        ct_t = (jnp.transpose(_pack_joint(
+            jax.tree_util.tree_map(lambda x: x[None], ct_prep),
+            CT_VECS, CT_SCALS,
+            _joint_extra_ct(jax.tree_util.tree_map(
+                lambda x: x[None], ct_prep))), (1, 0))
+            if ct_ab else None)
+
+        vw, imp_out, live = _fused_core(
+            metas, hinge_ab, ct_ab, nbl, 1, num_iterations, omega, inv_dt,
+            vw0, invm_t, invI_t, pos_t, idg_h2, idg_c2,
+            cols_tab, onehots, incidence, fricrest, passed_fields,
+            hinge_t, ct_t)
+        v_new = vw[:, 0:3]
+        w_new = vw[:, 3:6]
+        imps = []
+        for g, m in enumerate(metas):
+            x = jnp.stack([imp_out[g][k][:, 0] for k in range(m["k"])], -1)
+            if m["k"] < 4:
+                x = jnp.pad(x, ((0, 0), (0, 4 - m["k"])))
+            imps.append(x)
+        live_cat = jnp.concatenate([l[:, 0] for l in live], axis=0)
+        return v_new, w_new, jnp.concatenate(imps, axis=0), live_cat
+
+    @fused.def_vmap
+    def _vmap(axis_size, in_batched, bodies, w_pack, hinge_prep, ct_prep,
+              passed, inv_dt):
+        def bc(x, b):
+            return x if b else jnp.broadcast_to(
+                jnp.asarray(x), (axis_size, *jnp.shape(x)))
+        bodies = jax.tree_util.tree_map(bc, bodies, in_batched[0])
+        w_pack = jax.tree_util.tree_map(bc, w_pack, in_batched[1])
+        hinge_prep = jax.tree_util.tree_map(bc, hinge_prep, in_batched[2])
+        ct_prep = jax.tree_util.tree_map(bc, ct_prep, in_batched[3])
+        passed = jax.tree_util.tree_map(bc, passed, in_batched[4])
+        # inv_dt stays a scalar (it is closed-over static data per step)
+        out = _fused_step_batched(scene, metas, hinge_ab, ct_ab, bodies,
+                                  w_pack, hinge_prep, ct_prep, passed,
+                                  num_iterations, omega, inv_dt)
+        return out, (True, True, True, True)
+
+    return fused
+
+
+def _passed_fields_unbatched(metas, passed):
+    out = [None] * len(metas)
+    pi = 0
+    for g, m in enumerate(metas):
+        if m["native"]:
+            continue
+        c = passed[pi]
+        pi += 1
+        fields = []
+        for k in range(m["k"]):
+            cv = tuple(
+                tuple(getattr(c, f)[:, k, ci][:, None] for ci in range(3))
+                for f in ("rel_a", "rel_b", "normal", "tangent",
+                          "n_to_wa", "n_to_wb", "t_to_wa", "t_to_wb"))
+            cs = tuple(getattr(c, f)[:, k][:, None]
+                       for f in ("eff_mass_n", "eff_mass_t", "bias",
+                                 "friction"))
+            fields.append((cv, cs))
+        inv_ma = c.inv_ma[:, None]
+        inv_mb = c.inv_mb[:, None]
+        live = fields[0][1][0] > 0.0
+        for k in range(1, m["k"]):
+            live = live | (fields[k][1][0] > 0.0)
+        out[g] = (fields, inv_ma, inv_mb, live)
+    return out
+
+
+def _static_joint_invdeg(scene, nbody):
+    """Joint degrees are scene constants."""
+    out = np.ones((2, nbody), np.float32)
+    for row, joint in ((0, scene.hinge), (1, scene.cone_twist)):
+        if joint is None:
+            continue
+        deg = np.zeros(nbody, np.float32)
+        for n in np.asarray(joint.body_a):
+            deg[n] += 1
+        for n in np.asarray(joint.body_b):
+            deg[n] += 1
+        out[row] = 1.0 / np.maximum(deg, 1.0)
+    return out
+
+
+def _pack_passed(prep_slice, pg, kg):
+    """(B, S*Pg)-packed prep for one prep-passed group (the
+    batched_solver._pack_contacts column layout)."""
+    from dxk_tpu.ops.pallas.batched_solver import SCAL_FIELDS, VEC_FIELDS
+    c = prep_slice
+    parts = []
+    for k in range(kg):
+        for f in VEC_FIELDS:
+            v = getattr(c, f)
+            for ci in range(3):
+                parts.append(v[:, :, k, ci])
+    for k in range(kg):
+        for f in SCAL_FIELDS:
+            parts.append(getattr(c, f)[:, :, k])
+    parts.append(c.inv_ma)
+    parts.append(c.inv_mb)
+    t = jnp.stack(parts, axis=1)
+    t = t.reshape(t.shape[0], -1)
+    pad = _round128(t.shape[1]) - t.shape[1]
+    if pad:
+        t = jnp.pad(t, ((0, 0), (0, pad)))
+    return t
+
+
+def _scratch_reader(sc, meta):
+    """Rebuild the passed-prep field structure from a packed scratch."""
+    pg, kg = meta["pg"], meta["k"]
+    nvec = kg * 8 * 3
+    fields = []
+    for k in range(kg):
+        cv = []
+        for fi in range(8):
+            base = (k * 8 + fi) * 3
+            cv.append(tuple(sc[(base + c) * pg:(base + c + 1) * pg, :]
+                            for c in range(3)))
+        cs = tuple(sc[(nvec + k * 4 + si) * pg:(nvec + k * 4 + si + 1) * pg,
+                      :] for si in range(4))
+        fields.append((tuple(cv), cs))
+    inv_ma = sc[(nvec + kg * 4) * pg:(nvec + kg * 4 + 1) * pg, :]
+    inv_mb = sc[(nvec + kg * 4 + 1) * pg:(nvec + kg * 4 + 2) * pg, :]
+    live = fields[0][1][0] > 0.0
+    for k in range(1, kg):
+        live = live | (fields[k][1][0] > 0.0)
+    return (fields, inv_ma, inv_mb, live)
+
+
+def _make_kernel2(metas, hinge_ab, ct_ab, nb, ncol, num_iterations, omega):
+    n_groups = len(metas)
+    n_passed = sum(1 for m in metas if not m["native"])
+
+    def kernel(*refs):
+        it = iter(refs)
+        invdt_ref = next(it)                   # (1, 1) SMEM
+        vw_ref = next(it)                      # (CB, 6N)
+        invm_ref = next(it)                    # (CB, N)
+        invI_ref = next(it)                    # (CB, 9N)
+        pos_ref = next(it)                     # (CB, 3N)
+        col_ref = next(it)                     # (CB, 11C)
+        idg_ref = next(it)                     # (2, NB) const
+        g_gat, g_sca, g_oh, g_fr, g_hbm = [], [], [], [], []
+        for m in metas:
+            g_gat.append(next(it))
+            g_sca.append(next(it))
+            if m["native"]:
+                g_oh.append((next(it), next(it)))
+                g_fr.append(next(it))          # (2, Pg) const
+                g_hbm.append(None)
+            else:
+                g_oh.append(None)
+                g_fr.append(None)
+                g_hbm.append(next(it))
+        hinge_ref = next(it) if hinge_ab else None
+        ct_ref = next(it) if ct_ab else None
+        vw_out = next(it)
+        imp_outs = [next(it) for _ in range(n_groups)]
+        live_outs = [next(it) for _ in range(n_groups)]
+        scratches = [next(it) for _ in range(n_passed)]
+        bounce = next(it) if n_passed else None
+        sem = next(it) if n_passed else None
+
+        chunk = pl.program_id(0)
+        inv_dt = invdt_ref[0, 0]
+
+        pi = 0
+        passed_read = [None] * n_groups
+        for g, m in enumerate(metas):
+            if m["native"]:
+                continue
+            cols_p = scratches[pi].shape[0]
+            cp = pltpu.make_async_copy(
+                g_hbm[g].at[pl.ds(chunk * CB, CB), :],
+                bounce.at[:, pl.ds(0, cols_p)], sem)
+            cp.start()
+            cp.wait()
+            scratches[pi][:, :] = _mxu_t(bounce[:, :cols_p])
+            passed_read[g] = _scratch_reader(scratches[pi], m)
+            pi += 1
+
+        vw_t = _mxu_t(vw_ref[:, :])
+        invm_t = _mxu_t(invm_ref[:, :])
+        invI_t = _mxu_t(invI_ref[:, :])
+        pos_t = _mxu_t(pos_ref[:, :])
+        col_t = _mxu_t(col_ref[:, :])
+        hinge_t = _mxu_t(hinge_ref[:, :]) if hinge_ref is not None else None
+        ct_t = _mxu_t(ct_ref[:, :]) if ct_ref is not None else None
+
+        vw0 = jnp.concatenate(
+            [vw_t[c * nb:(c + 1) * nb] for c in range(6)], axis=1)
+        cols_tab = jnp.concatenate(
+            [col_t[i * ncol:(i + 1) * ncol] for i in range(COL_PARAMS)],
+            axis=1)
+
+        idg_h2 = jnp.broadcast_to(idg_ref[0, :][:, None], (nb, CB))
+        idg_c2 = jnp.broadcast_to(idg_ref[1, :][:, None], (nb, CB))
+
+        onehots = [(g_oh[g][0][:, :], g_oh[g][1][:, :])
+                   if m["native"] else None for g, m in enumerate(metas)]
+        incidence = [(g_gat[g][:, :], g_sca[g][:, :])
+                     for g in range(n_groups)]
+        fricrest = [
+            (g_fr[g][0:1, :].reshape(metas[g]["pg"], 1) if False else
+             jnp.transpose(g_fr[g][0:1, :], (1, 0)),
+             jnp.transpose(g_fr[g][1:2, :], (1, 0)))
+            if m["native"] else None for g, m in enumerate(metas)]
+
+        vw, imp_out, live = _fused_core(
+            metas, hinge_ab, ct_ab, nb, CB, num_iterations, omega, inv_dt,
+            vw0, invm_t, invI_t, pos_t, idg_h2, idg_c2,
+            cols_tab, onehots, incidence, fricrest, passed_read,
+            hinge_t, ct_t)
+
+        out_rows = jnp.concatenate(
+            [vw[:, c * CB:(c + 1) * CB] for c in range(6)], axis=0)
+        vw_out[:, :] = _mxu_t(out_rows)
+        for g, m in enumerate(metas):
+            rows = jnp.concatenate(imp_out[g], axis=0)
+            imp_outs[g][:, :] = _mxu_t(rows)
+            live_outs[g][:, :] = _mxu_t(live[g].astype(jnp.float32))
+
+    return kernel
+
+
+def _fused_step_batched(scene, metas, hinge_ab, ct_ab, bodies, w_pack,
+                        hinge_prep, ct_prep, passed, num_iterations, omega,
+                        inv_dt):
+    """Batched path: pack batch-major tensors and launch the kernel."""
+    B = bodies.v.shape[0]
+    nb = bodies.v.shape[1]
+    ncol = w_pack.shape[-1]
+    pad_c = (-ncol) % 8
+    if pad_c:
+        # cols_tab assembly lane-concats row-slices strided by ncol; Mosaic
+        # requires equal sublane offsets across concat operands
+        w_pack = jnp.pad(w_pack, ((0, 0), (0, 0), (0, pad_c)))
+        ncol = ncol + pad_c
+    if B % CB:
+        raise ValueError(f"fused step: batch {B} must be a multiple of {CB}")
+    n_chunks = B // CB
+
+    vw = jnp.concatenate([bodies.v, bodies.w], axis=-1)
+    vw = jnp.transpose(vw, (0, 2, 1)).reshape(B, 6 * nb)
+    invm = bodies.inv_mass
+    invI = jnp.transpose(bodies.inv_inertia.reshape(B, nb, 9),
+                         (0, 2, 1)).reshape(B, 9 * nb)
+    pos = jnp.transpose(bodies.pos_cog, (0, 2, 1)).reshape(B, 3 * nb)
+    colpack = w_pack.reshape(B, COL_PARAMS * ncol)
+
+    inputs = [jnp.reshape(inv_dt.astype(jnp.float32), (1, 1))]
+    in_specs = [pl.BlockSpec((1, 1), (lambda ch: (0, 0)),
+                             memory_space=pltpu.SMEM)]
+
+    def bspec(cols):
+        return pl.BlockSpec((CB, cols), (lambda ch: (ch, 0)),
+                            memory_space=pltpu.VMEM)
+
+    def const_spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, (lambda ch, _nd=nd: (0,) * _nd),
+                            memory_space=pltpu.VMEM)
+
+    inputs += [vw, invm, invI, pos, colpack,
+               jnp.asarray(_static_joint_invdeg(scene, nb))]
+    in_specs += [bspec(6 * nb), bspec(nb), bspec(9 * nb), bspec(3 * nb),
+                 bspec(COL_PARAMS * ncol), const_spec((2, nb))]
+
+    scratch_cols = []
+    pi = 0
+    for g, m in enumerate(metas):
+        gat, sca = _incidence(m, nb)
+        inputs += [jnp.asarray(gat), jnp.asarray(sca)]
+        in_specs += [const_spec(gat.shape), const_spec(sca.shape)]
+        if m["native"]:
+            inputs += [jnp.asarray(_np_onehot(m["col_a"], ncol)),
+                       jnp.asarray(_np_onehot(m["col_b"], ncol)),
+                       jnp.stack([jnp.asarray(m["fric"]),
+                                  jnp.asarray(m["rest"])], axis=0)]
+            in_specs += [const_spec((m["pg"], ncol)),
+                         const_spec((m["pg"], ncol)),
+                         const_spec((2, m["pg"]))]
+        else:
+            t = _pack_passed(passed[pi], m["pg"], m["k"])
+            pi += 1
+            inputs.append(t)
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+            scratch_cols.append(t.shape[1])
+    if hinge_ab:
+        inputs.append(_pack_joint(hinge_prep, HINGE_VECS, HINGE_SCALS,
+                                  _joint_extra_hinge(hinge_prep)))
+        in_specs.append(bspec(len(hinge_ab) * HINGE_ROWS))
+    if ct_ab:
+        inputs.append(_pack_joint(ct_prep, CT_VECS, CT_SCALS,
+                                  _joint_extra_ct(ct_prep)))
+        in_specs.append(bspec(len(ct_ab) * CT_ROWS))
+
+    out_shapes = [jax.ShapeDtypeStruct((B, 6 * nb), jnp.float32)]
+    out_specs = [bspec(6 * nb)]
+    for m in metas:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((B, m["k"] * m["pg"]), jnp.float32))
+        out_specs.append(bspec(m["k"] * m["pg"]))
+    for m in metas:
+        out_shapes.append(jax.ShapeDtypeStruct((B, m["pg"]), jnp.float32))
+        out_specs.append(bspec(m["pg"]))
+
+    scratch_shapes = [pltpu.VMEM((cols, CB), jnp.float32)
+                      for cols in scratch_cols]
+    if scratch_cols:
+        scratch_shapes.append(pltpu.VMEM((CB, max(scratch_cols)),
+                                         jnp.float32))
+        scratch_shapes.append(pltpu.SemaphoreType.DMA)
+
+    kernel = _make_kernel2(metas, hinge_ab, ct_ab, nb, ncol,
+                           num_iterations, omega)
+
+    interpret = jax.default_backend() != "tpu"
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_chunks,),
+        out_shape=tuple(out_shapes),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        scratch_shapes=scratch_shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(*inputs)
+
+    vw_out = outs[0].reshape(B, 6, nb)
+    vw_out = jnp.transpose(vw_out, (0, 2, 1))
+    v_new, w_new = vw_out[..., :3], vw_out[..., 3:]
+
+    imps, lives = [], []
+    for g, m in enumerate(metas):
+        x = outs[1 + g].reshape(B, m["k"], m["pg"])
+        x = jnp.transpose(x, (0, 2, 1))
+        if m["k"] < 4:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, 4 - m["k"])))
+        imps.append(x)
+        lives.append(outs[1 + len(metas) + g] > 0.5)
+    return (v_new, w_new, jnp.concatenate(imps, axis=1),
+            jnp.concatenate(lives, axis=1))

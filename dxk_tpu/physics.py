@@ -128,6 +128,12 @@ def physics_step(scene: Scene, state: State, settings: PhysicsSettings,
         from dxk_tpu.utils.validate import StageTracker
         tracker = StageTracker()
 
+    if settings.solver_mode == "fused":
+        from dxk_tpu.ops.pallas.fused_step import fused2_eligible
+        if fused2_eligible(scene):
+            return _physics_step_fused(scene, state, settings, dt, controls,
+                                       tracker)
+
     # 1-2: colliders -> AABBs -> candidate overlaps
     w = world_colliders(scene, state.pos, state.rot)
     mn, mx = collider_aabbs(scene, w)
@@ -342,6 +348,111 @@ def physics_step(scene: Scene, state: State, settings: PhysicsSettings,
         contact_mask=contact_mask,
         contact_impulse=(jnp.sum(contact_imp_n, axis=-1)
                          if contact_imp_n is not None else None),
+        validate_stage=(tracker.first_bad() if tracker is not None else None),
+    )
+    return new_state, info
+
+
+def _physics_step_fused(scene, state, settings, dt, controls, tracker):
+    """Fused-pipeline step (ops/pallas/fused_step.py): narrowphase + prep +
+    solve run inside one Pallas kernel for the pair groups with a
+    component-major recipe; other groups get XLA narrowphase+prep passed in
+    packed. Same ordering as the main path (physicsStep,
+    physics.cpp:1180-1362); solve semantics = solver_mode \"jacobi\"."""
+    from dxk_tpu.ops.pallas.fused_step import (CM_RECIPES, COL_PARAMS,
+                                               make_fused_step_solver)
+    from dxk_tpu.ops.solver import prep_contacts
+    from dxk_tpu.ops.tpu_gather import onehot_gather_1d as _og1
+
+    # 1-2: colliders -> AABBs (AABBs feed trigger overlaps only here; the
+    # kernel's narrowphase subsumes the per-pair AABB pre-filter)
+    w = world_colliders(scene, state.pos, state.rot)
+    mn, mx = collider_aabbs(scene, w)
+    if tracker is not None:
+        tracker.check("world_colliders", w)
+        tracker.check("aabbs", (mn, mx))
+
+    # trigger / force-field overlaps (unchanged)
+    trigger_overlap = None
+    ff_force_per_body = None
+    if scene.overlap_pairs is not None and scene.overlap_pairs.shape[0] > 0:
+        trigger_overlap, ff_force_per_body = _overlap_interactions(
+            scene, w, mn, mx)
+    if ff_force_per_body is not None:
+        state = state.replace(force_acc=state.force_acc + ff_force_per_body)
+
+    # integrate forces
+    bodies = integrate_forces(scene, state, dt)
+
+    # XLA narrowphase + prep ONLY for groups without a cm recipe
+    order = sorted(range(len(scene.pair_groups)),
+                   key=lambda gi: scene.pair_groups[gi].phase)
+    passed = []
+    static_pairs = []
+    for gi in order:
+        group = scene.pair_groups[gi]
+        key = (min(group.type_a, group.type_b),
+               max(group.type_a, group.type_b))
+        static_pairs.append(group.pairs)
+        if key in CM_RECIPES:
+            continue
+        mask = aabb_overlap_mask(mn, mx, group.pairs)
+        pts, dps, nrm, cnt, hit = _contacts_for_group(
+            scene, w, group, group.pairs, mask)
+        ia, ib = group.pairs[:, 0], group.pairs[:, 1]
+        fric = jnp.clip(jnp.sqrt(_og1(w.friction, ia) * _og1(w.friction, ib)),
+                        0.0, 1.0)
+        rest = jnp.clip(jnp.maximum(_og1(w.restitution, ia),
+                                    _og1(w.restitution, ib)), 0.0, 1.0)
+        cmask = hit[:, None] & (jnp.arange(4)[None, :] < cnt[:, None])
+        prep = prep_contacts(
+            bodies, _og1(w.body, ia), _og1(w.body, ib), pts,
+            jnp.repeat(nrm[:, None, :], 4, axis=1), dps, fric, rest,
+            cmask.astype(pts.dtype), dt)
+        passed.append(prep)
+
+    # joint prep (XLA — small)
+    hinge_prep = (prep_hinge(bodies, scene.hinge, controls, dt)
+                  if scene.hinge is not None else None)
+    ct_prep = (prep_cone_twist(bodies, scene.cone_twist, controls, dt)
+               if scene.cone_twist is not None else None)
+
+    # world collider param pack: (11, C) param-major
+    w_pack = jnp.concatenate([
+        jnp.transpose(w.a, (1, 0)), jnp.transpose(w.b, (1, 0)),
+        w.r[None, :], jnp.transpose(w.rot, (1, 0))], axis=0)
+
+    if tracker is not None:
+        tracker.check("body_velocities", (bodies.v, bodies.w))
+
+    fused = make_fused_step_solver(scene, settings.num_rigid_solver_iterations,
+                                   settings.sor_omega)
+    inv_dt = jnp.float32(1.0) / dt
+    v_new, w_new, imp_n, live = fused(bodies, w_pack, hinge_prep, ct_prep,
+                                      tuple(passed), inv_dt)
+    bodies = bodies.replace(v=v_new, w=w_new)
+    if tracker is not None:
+        tracker.check("solved_velocities", (bodies.v, bodies.w))
+
+    new_state = integrate_velocities(scene, bodies, state, dt)
+    if tracker is not None:
+        tracker.check("integrated_state", (new_state.pos, new_state.rot))
+
+    if scene.cloth is not None and state.cloth is not None:
+        from dxk_tpu.ops.cloth import cloth_step
+        new_state = new_state.replace(cloth=cloth_step(
+            scene.cloth, state.cloth, settings, scene.global_ff_force, dt))
+
+    contact_pairs = jnp.concatenate(static_pairs) if static_pairs else None
+    n_live = jnp.sum(live.astype(jnp.int32))
+    info = StepInfo(
+        num_broadphase_overlaps=n_live,
+        num_contacts=n_live,
+        broadphase_overflow=jnp.int32(0),
+        trigger_overlap=trigger_overlap,
+        contact_pairs=contact_pairs,
+        contact_mask=live,
+        contact_impulse=jnp.sum(imp_n, axis=-1),
         validate_stage=(tracker.first_bad() if tracker is not None else None),
     )
     return new_state, info

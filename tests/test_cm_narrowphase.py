@@ -1,0 +1,141 @@
+"""Component-major narrowphase recipes (ops/pallas/cm_narrowphase.py) vs
+their array-of-structs siblings (ops/narrowphase.py) on random pair soups.
+
+The cm recipes feed the fused physics kernel; the AoS recipes are the
+reference-cited canonical path. Same math, different layout — results must
+agree elementwise (capsule-box up to manifold point ORDER, which the AoS
+path's reduce_manifold heuristic may permute)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dxk_tpu.ops import narrowphase as np_aos
+from dxk_tpu.ops.pallas import cm_narrowphase as cm
+
+N = 256
+
+
+def _rand(key, lo, hi, shape):
+    return jax.random.uniform(key, shape, jnp.float32, lo, hi)
+
+
+def _v3(x):
+    """(N, 3) -> v3 of (N,)"""
+    return (x[:, 0], x[:, 1], x[:, 2])
+
+
+def _q4(x):
+    return (x[:, 0], x[:, 1], x[:, 2], x[:, 3])
+
+
+def _norm_quat(q):
+    return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+
+
+class TestCapsuleCapsule:
+    def test_matches_aos(self):
+        key = jax.random.PRNGKey(0)
+        ks = jax.random.split(key, 6)
+        aa = _rand(ks[0], -1, 1, (N, 3))
+        ab = aa + _rand(ks[1], -1.2, 1.2, (N, 3))
+        ba = _rand(ks[2], -1, 1, (N, 3))
+        bb = ba + _rand(ks[3], -1.2, 1.2, (N, 3))
+        ar = _rand(ks[4], 0.1, 0.6, (N,))
+        br = _rand(ks[5], 0.1, 0.6, (N,))
+        # include exactly-parallel cases
+        bb = bb.at[:64].set(ba[:64] + (ab[:64] - aa[:64]))
+        bb = bb.at[64:96].set(ba[64:96] - (ab[64:96] - aa[64:96]))
+
+        pts, dps, nrm, cnt, hit = jax.vmap(np_aos.capsule_capsule_contact)(
+            aa, ab, ar, ba, bb, br)
+        c_pts, c_dps, c_nrm, c_mask = cm.capsule_capsule_cm(
+            _v3(aa), _v3(ab), ar, _v3(ba), _v3(bb), br)
+
+        mask_aos = np.asarray(hit)[:, None] & (np.arange(4)[None, :]
+                                               < np.asarray(cnt)[:, None])
+        c_mask = np.stack([np.asarray(m) for m in c_mask], 1)
+        assert np.array_equal(c_mask, mask_aos[:, :2]), "live masks differ"
+        for k in range(2):
+            live = mask_aos[:, k]
+            got_p = np.stack([np.asarray(c) for c in c_pts[k]], -1)[live]
+            want_p = np.asarray(pts)[live, k]
+            assert np.allclose(got_p, want_p, atol=1e-5)
+            assert np.allclose(np.asarray(c_dps[k])[live],
+                               np.asarray(dps)[live, k], atol=1e-5)
+        live = mask_aos[:, 0]
+        got_n = np.stack([np.asarray(c) for c in c_nrm], -1)[live]
+        assert np.allclose(got_n, np.asarray(nrm)[live], atol=1e-5)
+
+
+class TestCapsuleBox:
+    def test_matches_aos(self):
+        key = jax.random.PRNGKey(1)
+        ks = jax.random.split(key, 6)
+        aa = _rand(ks[0], -1.5, 1.5, (N, 3))
+        ab = aa + _rand(ks[1], -1.5, 1.5, (N, 3))
+        ar = _rand(ks[2], 0.1, 0.5, (N,))
+        bc = _rand(ks[3], -0.5, 0.5, (N, 3))
+        bh = _rand(ks[4], 0.2, 1.0, (N, 3))
+        bq = _norm_quat(_rand(ks[5], -1, 1, (N, 4)))
+        # axis-aligned + face-parallel cases (enrichment path)
+        bq = bq.at[:96].set(jnp.array([0.0, 0, 0, 1]))
+        ab = ab.at[:48, 1].set(aa[:48, 1])          # horizontal capsules
+        ab = ab.at[:48, 2].set(aa[:48, 2])
+
+        pts, dps, nrm, cnt, hit = jax.vmap(np_aos.capsule_box_contact)(
+            aa, ab, ar, bc, bh, bq)
+        c_pts, c_dps, c_nrm, c_mask = cm.capsule_box_cm(
+            _v3(aa), _v3(ab), ar, _v3(bc), _v3(bh), _q4(bq))
+
+        cnt_aos = np.asarray(cnt) * np.asarray(hit)
+        c_mask_np = np.stack([np.asarray(m) for m in c_mask], 1)
+        cnt_cm = c_mask_np.sum(1)
+        agree = cnt_aos == cnt_cm
+        # live-count agreement on the vast majority (boundary cases where
+        # a clipped endpoint sits exactly on depth 0 may differ)
+        assert agree.mean() > 0.97, (1 - agree.mean())
+
+        # normals match where both report the same single point
+        one = agree & (cnt_aos == 1)
+        got_n = np.stack([np.asarray(c) for c in c_nrm], -1)
+        assert np.allclose(got_n[one], np.asarray(nrm)[one], atol=1e-4)
+        got_p0 = np.stack([np.asarray(c) for c in c_pts[0]], -1)
+        assert np.allclose(got_p0[one], np.asarray(pts)[one, 0], atol=1e-4)
+        assert np.allclose(np.asarray(c_dps[0])[one],
+                           np.asarray(dps)[one, 0], atol=1e-4)
+
+        # 2-point manifolds: same point SET (order may differ via
+        # reduce_manifold's heuristic)
+        two = agree & (cnt_aos == 2)
+        if two.any():
+            got = np.stack(
+                [np.stack([np.asarray(c) for c in c_pts[k]], -1)
+                 for k in range(2)], 1)[two]              # (M, 2, 3)
+            want = np.asarray(pts)[two][:, :2]
+            d_direct = (np.abs(got - want).max(-1)).max(-1)
+            d_swap = (np.abs(got[:, ::-1] - want).max(-1)).max(-1)
+            assert np.minimum(d_direct, d_swap).max() < 1e-3
+
+
+def test_sphere_sphere():
+    key = jax.random.PRNGKey(2)
+    ks = jax.random.split(key, 4)
+    c1 = _rand(ks[0], -1, 1, (N, 3))
+    c2 = _rand(ks[1], -1, 1, (N, 3))
+    r1 = _rand(ks[2], 0.1, 0.8, (N,))
+    r2 = _rand(ks[3], 0.1, 0.8, (N,))
+    pts, dps, nrm, cnt, hit = jax.vmap(np_aos.sphere_sphere_contact)(
+        c1, r1, c2, r2)
+    p, d, n, h = cm.sphere_sphere_cm(_v3(c1), r1, _v3(c2), r2)
+    assert np.array_equal(np.asarray(h), np.asarray(hit))
+    live = np.asarray(hit)
+    assert np.allclose(np.stack([np.asarray(x) for x in p], -1)[live],
+                       np.asarray(pts)[live, 0], atol=1e-6)
+    assert np.allclose(np.asarray(d)[live], np.asarray(dps)[live, 0],
+                       atol=1e-6)
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-x", "-q"])

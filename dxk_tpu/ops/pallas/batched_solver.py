@@ -49,8 +49,6 @@ kernel with a grid over 128-env chunks.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

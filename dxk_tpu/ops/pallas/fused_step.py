@@ -96,11 +96,6 @@ def _group_static(scene):
 # the shared core (pure jnp, comp-major, lanes minor)
 
 
-def _rows3(tab, base, n):
-    """rows [base*n : (base+1)*n] triple -> v3 of (n, L)."""
-    return tuple(tab[(base + i) * n:(base + i + 1) * n] for i in range(3))
-
-
 def _gather_params(onehot, cols_tab, L):
     """(Pg, C) @ (C, 11L) -> per-param (Pg, L) views."""
     g = jax.lax.dot_general(onehot, cols_tab,
@@ -832,8 +827,7 @@ def _make_kernel2(metas, hinge_ab, ct_ab, nb, ncol, num_iterations, omega):
         incidence = [(g_gat[g][:, :], g_sca[g][:, :])
                      for g in range(n_groups)]
         fricrest = [
-            (g_fr[g][0:1, :].reshape(metas[g]["pg"], 1) if False else
-             jnp.transpose(g_fr[g][0:1, :], (1, 0)),
+            (jnp.transpose(g_fr[g][0:1, :], (1, 0)),
              jnp.transpose(g_fr[g][1:2, :], (1, 0)))
             if m["native"] else None for g, m in enumerate(metas)]
 

@@ -14,8 +14,14 @@ from dxk_tpu.envs.loco_env import LocoEnv
 from dxk_tpu.models.policy import ActorCritic
 from dxk_tpu.utils.checkpoint import Checkpointer
 
-env = LocoEnv(solver_iterations=20, solver_mode="jacobi",
-              narrow_caps={(1,1): 24, (1,3): 20, (3,3): 3})
+import argparse
+_ap = argparse.ArgumentParser()
+_ap.add_argument("ckpt", nargs="?", default="/tmp/dxk_loco_ckpt")
+_ap.add_argument("--walk-target", type=float, default=0.0)
+_args = _ap.parse_args()
+sys.argv = [sys.argv[0], _args.ckpt]
+env = LocoEnv(solver_iterations=30, solver_mode="fused",
+              torso_velocity_target=(_args.walk_target, 0.0, 0.0))
 net = ActorCritic(action_dim=27)
 ckpt = Checkpointer(sys.argv[1] if len(sys.argv) > 1 else "/tmp/dxk_loco_ckpt")
 tmpl = net.init(jax.random.PRNGKey(0), jnp.zeros((66,)))

@@ -27,7 +27,13 @@ def main():
     ap.add_argument("--num-envs", type=int, default=None)
     ap.add_argument("--unroll", type=int, default=64)
     ap.add_argument("--lr", type=float, default=3e-4)
-    ap.add_argument("--solver-iterations", type=int, default=15)
+    ap.add_argument("--solver-iterations", type=int, default=30)
+    ap.add_argument("--solver-mode", default="fused",
+                    help="fused = whole contact pipeline in one Pallas "
+                         "kernel (ops/pallas/fused_step.py)")
+    ap.add_argument("--walk-target", type=float, default=0.0,
+                    help="torso x-velocity target in m/s (DReCon vcm term, "
+                         "learned_locomotion.cpp:345); 0 = standing task")
     ap.add_argument("--ckpt-dir", default="/tmp/dxk_loco_ckpt")
     ap.add_argument("--csv", default="/tmp/dxk_loco_train.csv")
     ap.add_argument("--resume", action="store_true")
@@ -43,8 +49,9 @@ def main():
     num_envs = args.num_envs or (1024 if on_tpu else 16)
 
     env = LocoEnv(solver_iterations=args.solver_iterations,
-                  solver_mode="jacobi",
-                  narrow_caps={(1, 1): 24, (1, 3): 20, (3, 3): 3})
+                  solver_mode=args.solver_mode,
+                  narrow_caps={(1, 1): 24, (1, 3): 20, (3, 3): 3},
+                  torso_velocity_target=(args.walk_target, 0.0, 0.0))
     config = PPOConfig(num_envs=num_envs, unroll_length=args.unroll,
                        learning_rate=args.lr,
                        num_minibatches=max(4, num_envs // 64))

@@ -245,9 +245,10 @@ def bench_ragdoll_settle(batch, steps, iters_timed, solver_iterations):
     ground = b.add_static(position=(0, -4.0, 0))
     b.add_box_collider(ground, (0, 0, 0), (20, 4, 20), friction=1.0)
     add_ragdoll(b, initial_hip_position=(0.0, 1.6, 0.0))
-    scene = b.finalize(max_narrow_pairs_per_group=32)
+    # uncapped static tables -> fused-pipeline eligible (one Pallas kernel)
+    scene = b.finalize()
     settings = PhysicsSettings(num_rigid_solver_iterations=solver_iterations,
-                               solver_mode="jacobi")
+                               solver_mode="fused")
     state = _broadcast_state(scene, batch)
     return _time_batched_steps(scene, settings, state, steps, iters_timed, 14)
 

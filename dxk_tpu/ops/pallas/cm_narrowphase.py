@@ -351,3 +351,29 @@ def capsule_box_cm(aa, ab, ar, bc, bh, bq):
     m0 = m0 & hit
     m1 = m1 & hit
     return ([to_world(pt0), to_world(pt1)], [dp0, dp1], nrm_w, [m0, m1])
+
+
+def sphere_capsule_cm(sc, sr, ca, cb, cr):
+    """narrowphase.sphere_capsule_contact: sphere vs closest axis point."""
+    closest = closest_point_point_segment_cm(sc, ca, cb)
+    return sphere_sphere_cm(sc, sr, closest, cr)
+
+
+def sphere_box_cm(sc, sr, bc, bh, bq):
+    """narrowphase.sphere_box_contact: rotate-to-local sphere-vs-AABB
+    (collision_narrow.cpp:451-494)."""
+    sc_l = quat_inv_rotate_cm(bq, _sub(sc, bc))
+    p = tuple(jnp.clip(sc_l[i], -bh[i], bh[i]) for i in range(3))
+    n = _sub(p, sc_l)
+    sq = _sqlen(n)
+    hit = sq <= sr * sr
+    dist = jnp.sqrt(jnp.maximum(sq, 0.0))
+    pos = sq > 0.0
+    inv = 1.0 / jnp.maximum(dist, 1e-30)
+    up = (jnp.zeros_like(sq), jnp.ones_like(sq), jnp.zeros_like(sq))
+    n = _where(pos, _muls(n, inv), up)
+    depth = sr - jnp.where(pos, dist, 0.0)
+    point_l = _muls(_add(_add(p, sc_l), _muls(n, sr)), 0.5)
+    normal = quat_rotate_cm(bq, n)
+    point = _add(quat_rotate_cm(bq, point_l), bc)
+    return point, depth, normal, hit

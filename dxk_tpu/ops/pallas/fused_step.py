@@ -45,7 +45,8 @@ from dxk_tpu.ops.pallas.batched_solver import (
 # capsules, half-extents for boxes)
 COL_PARAMS = 11
 
-CM_RECIPES = {(0, 0), (1, 1), (1, 3)}   # sphere-sphere, cap-cap, cap-box
+# sphere-sphere/capsule/box, capsule-capsule, capsule-box
+CM_RECIPES = {(0, 0), (0, 1), (0, 3), (1, 1), (1, 3)}
 
 
 def fused2_eligible(scene) -> bool:
@@ -119,6 +120,12 @@ def _narrow_native(meta, pa, pb):
     key = (min(ta, tb), max(ta, tb))
     if key == (0, 0):
         p, d, n, h = cm.sphere_sphere_cm(a3, ra, a3b, rb)
+        return [p], [d], n, [h]
+    if key == (0, 1):
+        p, d, n, h = cm.sphere_capsule_cm(a3, ra, a3b, b3b, rb)
+        return [p], [d], n, [h]
+    if key == (0, 3):
+        p, d, n, h = cm.sphere_box_cm(a3, ra, a3b, b3b, qb)
         return [p], [d], n, [h]
     if key == (1, 1):
         return cm.capsule_capsule_cm(a3, b3a, ra, a3b, b3b, rb)

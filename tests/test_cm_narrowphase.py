@@ -137,5 +137,35 @@ def test_sphere_sphere():
                        atol=1e-6)
 
 
+def test_sphere_capsule_and_box():
+    key = jax.random.PRNGKey(3)
+    ks = jax.random.split(key, 8)
+    sc = _rand(ks[0], -1, 1, (N, 3))
+    sr = _rand(ks[1], 0.1, 0.7, (N,))
+    ca = _rand(ks[2], -1, 1, (N, 3))
+    cb = ca + _rand(ks[3], -1.2, 1.2, (N, 3))
+    cr = _rand(ks[4], 0.1, 0.5, (N,))
+    pts, dps, nrm, cnt, hit = jax.vmap(np_aos.sphere_capsule_contact)(
+        sc, sr, ca, cb, cr)
+    p, d, n, h = cm.sphere_capsule_cm(_v3(sc), sr, _v3(ca), _v3(cb), cr)
+    live = np.asarray(hit)
+    assert np.array_equal(np.asarray(h), live)
+    assert np.allclose(np.stack([np.asarray(x) for x in p], -1)[live],
+                       np.asarray(pts)[live, 0], atol=1e-5)
+
+    bc = _rand(ks[5], -0.5, 0.5, (N, 3))
+    bh = _rand(ks[6], 0.2, 1.0, (N, 3))
+    bq = _norm_quat(_rand(ks[7], -1, 1, (N, 4)))
+    pts, dps, nrm, cnt, hit = jax.vmap(np_aos.sphere_box_contact)(
+        sc, sr, bc, bh, bq)
+    p, d, n, h = cm.sphere_box_cm(_v3(sc), sr, _v3(bc), _v3(bh), _q4(bq))
+    live = np.asarray(hit)
+    assert np.array_equal(np.asarray(h), live)
+    assert np.allclose(np.stack([np.asarray(x) for x in p], -1)[live],
+                       np.asarray(pts)[live, 0], atol=1e-5)
+    assert np.allclose(np.asarray(d)[live], np.asarray(dps)[live, 0],
+                       atol=1e-5)
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])

@@ -18,13 +18,19 @@ B = 128   # kernel env-chunk size
 
 
 def _scene():
-    """Boxes in contact + hinge and cone-twist chain: every kernel path."""
+    """Boxes, spheres and capsules in contact + hinge and cone-twist
+    chain: native cm recipes (sphere-sphere/box, capsule-capsule/box),
+    the prep-passed fallback (box-box), and both joint types."""
     b = SceneBuilder()
     g = b.add_static()
     b.add_box_collider(g, (0, -1, 0), (20, 1, 20))
     for i in range(3):
         bd = b.add_body(position=(0, 0.4995 + 0.9995 * i, 0))
         b.add_box_collider(bd, (0, 0, 0), (0.5, 0.5, 0.5))
+    s1 = b.add_body(position=(-1.5, 0.35, 0))
+    b.add_sphere_collider(s1, (0, 0, 0), 0.35)
+    s2 = b.add_body(position=(-1.5, 1.0, 0.05))
+    b.add_sphere_collider(s2, (0, 0, 0), 0.3)
     anchor = b.add_body(position=(3, 3, 0), kinematic=True)
     l1 = b.add_body(position=(3.1, 2.5, 0))
     b.add_capsule_collider(l1, (0, -0.2, 0), (0, 0.2, 0), 0.1)

@@ -35,6 +35,9 @@ def _scatter_vals(indices, values, out_rows):
 
 POLY_SLOTS = 8
 _NEG = -3.4e38
+# Tie margin for reduce_manifold's vertex selection; see masked_argmax.
+# Must stay equal to the copy in ops/pallas/cm_narrowphase.py.
+REDUCE_TIE_TOL = 1e-4
 
 
 def signed_distance(p, plane):
@@ -131,7 +134,18 @@ def reduce_manifold(verts, depths, n, normal):
     valid = idx < n
 
     def masked_argmax(scores):
-        return jnp.argmax(jnp.where(valid, scores, _NEG))
+        # Sequential first-wins max with a tie margin: a later slot must
+        # beat the incumbent by REDUCE_TIE_TOL. Keeps this path and the
+        # component-major Pallas port (cm_narrowphase._reduce_manifold_cm)
+        # picking the same vertices when scores tie at float-noise level.
+        scores = jnp.where(valid, scores, _NEG)
+        best = scores[0]
+        bi = jnp.int32(0)
+        for k in range(1, S):
+            upd = scores[k] > best + REDUCE_TIE_TOL
+            best = jnp.where(upd, scores[k], best)
+            bi = jnp.where(upd, k, bi)
+        return bi
 
     def row(i):
         oh = jax.nn.one_hot(i, S, dtype=verts.dtype)

@@ -26,6 +26,12 @@ from dxk_tpu.ops.manifold import (POLY_SLOTS, make_plane, project_and_filter,
                                   sutherland_hodgman)
 
 EPSILON = 1e-6  # math.h:22
+# Minimum improvement for a later SAT candidate to replace the current
+# winner in box_box_contact (and its component-major Pallas port). Ties at
+# this scale are physically equivalent (contact sets differ only by a
+# depth-sized shift along the normal); breaking them deterministically
+# keeps the AoS and CM paths in exact agreement.
+SAT_TIE_TOL = 1e-4
 
 _UP = jnp.array([0.0, 1.0, 0.0], jnp.float32)
 
@@ -320,7 +326,20 @@ def box_box_contact(ca, ha, qa, cb, hb, qb):
         pen_face_a, pen_face_b,
         jnp.where(parallel, big, edge_pen),
     ])
-    winner = jnp.argmin(scores)
+    # Deterministic tie-break: the reference's sequential `<` keeps the
+    # earliest candidate on exact ties, but the +EPSILON terms make
+    # face-A-vs-face-B penetrations differ only at arithmetic-noise level
+    # in stacked/parallel configs — so a plain argmin is decided by
+    # summation order and disagrees between this path and the
+    # component-major Pallas port. Require a real improvement
+    # (SAT_TIE_TOL) before switching to a later candidate; both paths
+    # share the candidate order, so they pick the same winner.
+    best = scores[0]
+    winner = jnp.int32(0)
+    for k in range(1, 15):
+        upd = scores[k] < best - SAT_TIE_TOL
+        best = jnp.where(upd, scores[k], best)
+        winner = jnp.where(upd, k, winner)
     is_face_a = winner < 3
     is_face_b = (winner >= 3) & (winner < 6)
     is_edge = winner >= 6

@@ -18,9 +18,12 @@ normal one v3, and mask a list of K boolean arrays (point k live)."""
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 EPSILON = 1e-6
+SAT_TIE_TOL = 1e-4     # keep equal to narrowphase.SAT_TIE_TOL (kernel-safe copy)
+REDUCE_TIE_TOL = 1e-4  # keep equal to manifold.REDUCE_TIE_TOL
 
 
 # ---- v3 helpers (soa.py, local to avoid cross-module kernel imports) ----
@@ -377,3 +380,464 @@ def sphere_box_cm(sc, sr, bc, bh, bq):
     normal = quat_rotate_cm(bq, n)
     point = _add(quat_rotate_cm(bq, point_l), bc)
     return point, depth, normal, hit
+
+
+# ===========================================================================
+# box-box: 15-axis SAT + reference-face Sutherland-Hodgman clipping
+# (round 3; ports ops/narrowphase.py box_box_contact, itself cited against
+# collision_narrow.cpp:1179-1528). The polygon machinery below is the CM
+# form of ops/manifold.py with per-lane vertex counts.
+
+
+def _neg(a):
+    return (-a[0], -a[1], -a[2])
+
+
+def _poly_barrier(verts, depths, nn):
+    """optimization_barrier over the polygon state (see box_box_cm)."""
+    flat = [c for v in verts for c in v] + list(depths) + [nn]
+    flat = jax.lax.optimization_barrier(tuple(flat))
+    S = len(verts)
+    verts = [tuple(flat[3 * s:3 * s + 3]) for s in range(S)]
+    depths = list(flat[3 * S:4 * S])
+    return verts, depths, flat[4 * S]
+
+
+def get_tangent_cm(n):
+    """maths.get_tangent: branch on |n.x| >= 0.57735, then normalize."""
+    use_x = jnp.abs(n[0]) >= 0.57735
+    z = jnp.zeros_like(n[0])
+    t = _where(use_x, (n[1], -n[0], z), (z, n[2], -n[1]))
+    ln = jnp.sqrt(jnp.maximum(_sqlen(t), 0.0))
+    return _muls(t, 1.0 / jnp.maximum(ln, 1e-30))
+
+
+def _first_argmax3(p0, p1, p2):
+    """One-hot masks for jnp.argmax([p0,p1,p2]) (first max wins)."""
+    m0 = (p0 >= p1) & (p0 >= p2)
+    m1 = ~m0 & (p1 >= p2)
+    m2 = ~m0 & ~m1
+    return m0, m1, m2
+
+
+def _mask3(m):
+    return tuple(jnp.where(x, 1.0, 0.0) for x in m)
+
+
+def _clip_one_plane_cm(verts, depths, n, pn, pd):
+    """manifold._clip_one_plane on CM slots: verts = list[S] of v3,
+    depths list[S], n int32 array; plane (pn v3, pd). Returns new lists +
+    count."""
+    S = len(verts)
+    n_safe = jnp.maximum(n, 1)
+    sd = [_dot(v, pn) + pd for v in verts]
+
+    first_vs, first_ds, end_vs, end_ds, i1s, i2s = [], [], [], [], [], []
+    offset = jnp.zeros_like(n)
+    for k in range(S):
+        valid = k < n
+        nxt = jnp.mod(k + 1, n_safe)
+        ev, ed, esd = verts[0], depths[0], sd[0]
+        for s in range(1, S):
+            pick = nxt == s
+            ev = _where(pick, verts[s], ev)
+            ed = jnp.where(pick, depths[s], ed)
+            esd = jnp.where(pick, sd[s], esd)
+        s_in = sd[k] > 0.0
+        e_in = esd > 0.0
+        a_abs = jnp.abs(sd[k])
+        t = a_abs / jnp.maximum(a_abs + jnp.abs(esd), 1e-12)
+        clip_v = _add(verts[k], _muls(_sub(ev, verts[k]), t))
+        clip_d = depths[k] + (ed - depths[k]) * t
+        emit_clip = (s_in ^ e_in) & valid
+        emit_end = e_in & valid
+        cnt = emit_clip.astype(jnp.int32) + emit_end.astype(jnp.int32)
+        i1s.append(jnp.where(cnt >= 1, offset, S))
+        i2s.append(jnp.where(cnt == 2, offset + 1, S))
+        offset = offset + cnt
+        first_vs.append(_where(emit_clip, clip_v, ev))
+        first_ds.append(jnp.where(emit_clip, clip_d, ed))
+        end_vs.append(ev)
+        end_ds.append(ed)
+
+    zero = jnp.zeros_like(depths[0])
+    zv = (zero, zero, zero)
+    out_v, out_d = [], []
+    for s in range(S):
+        av, ad = zv, zero
+        for k in range(S):
+            p1 = i1s[k] == s
+            av = _where(p1, first_vs[k], av)
+            ad = jnp.where(p1, first_ds[k], ad)
+            p2 = i2s[k] == s
+            av = _where(p2, end_vs[k], av)
+            ad = jnp.where(p2, end_ds[k], ad)
+        out_v.append(av)
+        out_d.append(ad)
+    return out_v, out_d, offset
+
+
+def _project_filter_cm(verts, depths, n, pn, pd):
+    """manifold.project_and_filter: drop depth<0 points, project onto the
+    reference plane, compact to front."""
+    S = len(verts)
+    proj = [_add(v, _muls(pn, d)) for v, d in zip(verts, depths)]
+    offset = jnp.zeros_like(n)
+    tgts, keeps = [], []
+    for k in range(S):
+        valid = (k < n) & (depths[k] >= 0.0)
+        tgts.append(jnp.where(valid, offset, S))
+        keeps.append(valid)
+        offset = offset + valid.astype(jnp.int32)
+    zero = jnp.zeros_like(depths[0])
+    out_v, out_d = [], []
+    for s in range(S):
+        av, ad = (zero, zero, zero), zero
+        for k in range(S):
+            p = tgts[k] == s
+            av = _where(p, proj[k], av)
+            ad = jnp.where(p, depths[k], ad)
+        out_v.append(av)
+        out_d.append(ad)
+    return out_v, out_d, offset
+
+
+def _reduce_manifold_cm(verts, depths, n, normal):
+    """manifold.reduce_manifold (findStableContactManifold,
+    collision_narrow.cpp:56-146): keep at most 4 points."""
+    S = len(verts)
+    NEG = -3.4e38
+
+    def masked_best(scores):
+        bs = jnp.where(0 < n, scores[0], NEG)
+        bv, bd = verts[0], depths[0]
+        for k in range(1, S):
+            sk = jnp.where(k < n, scores[k], NEG)
+            # first max wins, with the manifold.REDUCE_TIE_TOL margin so
+            # this port picks the same vertex as the AoS path on ties
+            upd = sk > bs + REDUCE_TIE_TOL
+            bs = jnp.where(upd, sk, bs)
+            bv = _where(upd, verts[k], bv)
+            bd = jnp.where(upd, depths[k], bd)
+        return bv, bd
+
+    search = get_tangent_cm(normal)
+    p0, d0 = masked_best([_dot(v, search) for v in verts])
+    p1, d1 = masked_best([_sqlen(_sub(v, p0)) for v in verts])
+    area3 = [0.5 * _dot(_cross(_sub(p0, v), _sub(p1, v)), normal)
+             for v in verts]
+    p2, d2 = masked_best(area3)
+    s4 = []
+    for v in verts:
+        qa = _sub(p0, v)
+        qb = _sub(p1, v)
+        qc = _sub(p2, v)
+        a1 = 0.5 * _dot(_cross(qa, qb), normal)
+        a2 = 0.5 * _dot(_cross(qb, qc), normal)
+        a3 = 0.5 * _dot(_cross(qc, qa), normal)
+        s4.append(jnp.maximum(jnp.maximum(a1, a2), a3))
+    p3, d3 = masked_best(s4)
+
+    use_r = n > 4
+    red_v = [p0, p1, p2, p3]
+    red_d = [d0, d1, d2, d3]
+    out_v = [_where(use_r, red_v[k], verts[k]) for k in range(4)]
+    out_d = [jnp.where(use_r, red_d[k], depths[k]) for k in range(4)]
+    count = jnp.where(use_r, 4, n)
+    return out_v, out_d, count
+
+
+def _incident_edge_local_cm(h, nl):
+    """narrowphase._aabb_incident_edge_local (getAABBIncidentEdge,
+    collision_narrow.cpp:301-336), CM."""
+    p = (jnp.abs(nl[0]), jnp.abs(nl[1]), jnp.abs(nl[2]))
+    out_a = h
+    b_xy = (h[0], h[1], -h[2])
+    b_xz = (h[0], -h[1], h[2])
+    b_yz = (-h[0], h[1], h[2])
+    out_b = _where(p[0] > p[1],
+                   _where(p[1] > p[2], b_xy, b_xz),
+                   _where(p[0] > p[2], b_xy, b_yz))
+    s = tuple(jnp.where(c < 0.0, -1.0, 1.0) for c in nl)
+    return (tuple(out_a[i] * s[i] for i in range(3)),
+            tuple(out_b[i] * s[i] for i in range(3)))
+
+
+def box_box_cm(ac, ah, aq, bc, bh, bq):
+    """narrowphase.box_box_contact (collision_narrow.cpp:1179-1528): 15-axis
+    SAT, reference-face clip or edge-edge closest point. K=4.
+    Returns (pts[4], dps[4], normal, mask[4]) in WORLD space."""
+    one = jnp.ones_like(ah[0])
+    zero = jnp.zeros_like(ah[0])
+    ex, ey, ez = (one, zero, zero), (zero, one, zero), (zero, zero, one)
+    basis = (ex, ey, ez)
+    a_ax = [quat_rotate_cm(aq, e) for e in basis]
+    b_ax = [quat_rotate_cm(bq, e) for e in basis]
+    R = [[_dot(a_ax[i], b_ax[j]) for j in range(3)] for i in range(3)]
+    tw = _sub(bc, ac)
+    t = [_dot(a_ax[i], tw) for i in range(3)]
+    absR = [[jnp.abs(R[i][j]) + EPSILON for j in range(3)]
+            for i in range(3)]
+    parallel = zero > one        # all-False
+    for i in range(3):
+        for j in range(3):
+            parallel = parallel | (absR[i][j] >= 0.99)
+
+    pen_face_a = [ah[i] + sum(absR[i][j] * bh[j] for j in range(3))
+                  - jnp.abs(t[i]) for i in range(3)]
+    tB = [sum(R[i][j] * t[i] for i in range(3)) for j in range(3)]
+    pen_face_b = [sum(absR[i][j] * ah[i] for i in range(3)) + bh[j]
+                  - jnp.abs(tB[j]) for j in range(3)]
+
+    edge_raw, edge_pen, edge_axes = [], [], []
+    for i in range(3):
+        for j in range(3):
+            if i == 0:
+                axis = (zero, -R[2][j], R[1][j])
+            elif i == 1:
+                axis = (R[2][j], zero, -R[0][j])
+            else:
+                axis = (-R[1][j], R[0][j], zero)
+            k1, k2 = (i + 1) % 3, (i + 2) % 3
+            ra = ah[k1] * absR[k2][j] + ah[k2] * absR[k1][j]
+            l1, l2 = (j + 1) % 3, (j + 2) % 3
+            rb = bh[l1] * absR[i][l2] + bh[l2] * absR[i][l1]
+            dist = jnp.abs(sum(t[c] * axis[c] for c in range(3)))
+            praw = ra + rb - dist
+            ln = jnp.sqrt(jnp.maximum(_sqlen(axis), 0.0))
+            inv_len = 1.0 / jnp.maximum(ln, 1e-30)
+            edge_raw.append(praw)
+            edge_pen.append(praw * inv_len)
+            edge_axes.append(_muls(axis, inv_len))
+
+    separated = zero > one
+    for p in pen_face_a:
+        separated = separated | (p < 0.0)
+    for p in pen_face_b:
+        separated = separated | (p < 0.0)
+    any_edge_neg = zero > one
+    for p in edge_raw:
+        any_edge_neg = any_edge_neg | (p < 0.0)
+    separated = separated | (~parallel & any_edge_neg)
+    hit = ~separated
+
+    # argmin over [face_a(3), face_b(3), edges(9 or big)] — first min wins
+    big = jnp.full_like(zero, 3.4e38)
+    cands = []
+    for i in range(3):
+        cands.append((pen_face_a[i], basis[i], True, False))
+    for j in range(3):
+        cands.append((pen_face_b[j], (R[0][j], R[1][j], R[2][j]),
+                      False, False))
+    for e in range(9):
+        cands.append((jnp.where(parallel, big, edge_pen[e]),
+                      edge_axes[e], False, True))
+    best_s, n_local, fa, fb = cands[0][0], cands[0][1], one > zero, zero > one
+    is_edge = zero > one
+    for s, cn, c_fa, c_edge in cands[1:]:
+        # SAT_TIE_TOL tie-break — must match box_box_contact exactly.
+        upd = s < best_s - SAT_TIE_TOL
+        best_s = jnp.where(upd, s, best_s)
+        n_local = _where(upd, cn, n_local)
+        fa = (upd & c_fa) | (~upd & fa)
+        is_edge = (upd & c_edge) | (~upd & is_edge)
+    is_face_b = ~fa & ~is_edge
+
+    normal = quat_rotate_cm(aq, n_local)
+    flip = _dot(normal, tw) < 0.0
+    normal = _where(flip, _neg(normal), normal)
+
+    # ---- face case: reference-face clipping (1438-1495)
+    def qsel(c, qa_, qb_):
+        return tuple(jnp.where(c, x, y) for x, y in zip(qa_, qb_))
+
+    ref_c = _where(is_face_b, bc, ac)
+    ref_h = _where(is_face_b, bh, ah)
+    ref_q = qsel(is_face_b, bq, aq)
+    inc_c = _where(is_face_b, ac, bc)
+    inc_h = _where(is_face_b, ah, bh)
+    inc_q = qsel(is_face_b, aq, bq)
+    ref_n = _where(is_face_b, _neg(normal), normal)
+
+    n_ref_l = quat_inv_rotate_cm(ref_q, ref_n)
+    m = _first_argmax3(jnp.abs(n_ref_l[0]), jnp.abs(n_ref_l[1]),
+                       jnp.abs(n_ref_l[2]))
+    mm = _mask3(m)
+    e0 = (mm[2], mm[0], mm[1])       # one-hot of (m+1)%3
+    e1 = (mm[1], mm[2], mm[0])       # one-hot of (m+2)%3
+    neg_h = _neg(ref_h)
+    cp_l = [neg_h, neg_h, ref_h, ref_h]
+    cn_l = [e0, e1, _neg(e0), _neg(e1)]
+    planes = []
+    for pl_p, pl_n in zip(cp_l, cn_l):
+        nw = quat_rotate_cm(ref_q, pl_n)
+        pw = _add(quat_rotate_cm(ref_q, pl_p), ref_c)
+        planes.append((nw, -_dot(nw, pw)))
+
+    n_inc_l = quat_inv_rotate_cm(inc_q, ref_n)
+    mi = _first_argmax3(jnp.abs(n_inc_l[0]), jnp.abs(n_inc_l[1]),
+                        jnp.abs(n_inc_l[2]))
+    mmi = _mask3(mi)
+    ei0 = (mmi[2], mmi[0], mmi[1])
+    ei1 = (mmi[1], mmi[2], mmi[0])
+    nl_m = _dot(n_inc_l, mmi)
+    s_inc = jnp.where(nl_m < 0.0, 1.0, -1.0)
+    d_inc = _dot(inc_h, mmi) * s_inc
+    r0 = _dot(inc_h, ei0)
+    r1 = _dot(inc_h, ei1)
+    base = _muls(mmi, d_inc)
+    corners = []
+    for s0, s1 in ((-1.0, -1.0), (1.0, -1.0), (1.0, 1.0), (-1.0, 1.0)):
+        cl = _add(base, _add(_muls(ei0, s0 * r0), _muls(ei1, s1 * r1)))
+        corners.append(_add(quat_rotate_cm(inc_q, cl), inc_c))
+
+    sup_l = tuple(jnp.where(n_ref_l[i] >= 0.0, ref_h[i], -ref_h[i])
+                  for i in range(3))
+    sup_w = _add(quat_rotate_cm(ref_q, sup_l), ref_c)
+    rp_d = -_dot(ref_n, sup_w)
+
+    S = 8
+    zv = (zero, zero, zero)
+    verts = corners + [zv] * (S - 4)
+    depths = [-(_dot(v, ref_n) + rp_d) for v in corners] + [zero] * (S - 4)
+    nn = jnp.full_like(zero, 4).astype(jnp.int32)
+    for pn_, pd_ in planes:
+        verts, depths, nn = _clip_one_plane_cm(verts, depths, nn, pn_, pd_)
+        # Fusion fence: every output slot of a clip pass selects among all
+        # 8 input slots, so XLA's producer-duplicating fusion re-expands
+        # the whole upstream pipeline into each consumer — 4 chained
+        # passes exploded an 11k-op HLO to 245k post-opt (XLA:CPU, and a
+        # compile-time hazard for Mosaic too). Materializing the polygon
+        # between passes bounds duplication to one pass.
+        verts, depths, nn = _poly_barrier(verts, depths, nn)
+    verts, depths, nn = _project_filter_cm(verts, depths, nn, ref_n, rp_d)
+    verts, depths, nn = _poly_barrier(verts, depths, nn)
+    f_pts, f_dps, f_cnt = _reduce_manifold_cm(verts, depths, nn, normal)
+    face_hit = nn > 0
+
+    # ---- edge case: closest point between the incident edges (1496-1518)
+    a0l, a1l = _incident_edge_local_cm(ah, quat_inv_rotate_cm(aq, normal))
+    b0l, b1l = _incident_edge_local_cm(bh, quat_inv_rotate_cm(
+        bq, _neg(normal)))
+    a0 = _add(quat_rotate_cm(aq, a0l), ac)
+    a1 = _add(quat_rotate_cm(aq, a1l), ac)
+    b0 = _add(quat_rotate_cm(bq, b0l), bc)
+    b1 = _add(quat_rotate_cm(bq, b1l), bc)
+    c1, c2 = closest_point_segment_segment_cm(a0, a1, b0, b1)
+    e_pt = _muls(_add(c1, c2), 0.5)
+    e_dp = jnp.sqrt(jnp.maximum(_sqlen(_sub(c1, c2)), 0.0))
+
+    pts = [_where(is_edge, e_pt, f_pts[k]) for k in range(4)]
+    dps = [jnp.where(is_edge, e_dp if k == 0 else zero, f_dps[k])
+           for k in range(4)]
+    count = jnp.where(is_edge, 1, f_cnt)
+    hit = hit & (is_edge | face_hit)
+    count = jnp.where(hit, count, 0)
+    masks = [(k < count) for k in range(4)]
+    return pts, dps, normal, masks
+
+
+# ===========================================================================
+# cylinder recipes (analytic subset; cylinder-cylinder/-box stay on the
+# prep-passed fallback — their non-parallel branches need in-kernel GJK/EPA)
+
+
+def sphere_cylinder_cm(sc, sr, ca, cb, cr):
+    """narrowphase.sphere_cylinder_contact (collision_narrow.cpp:408-450):
+    lateral body -> sphere-on-axis; beyond the caps -> cap disk rim/face."""
+    ab = _sub(cb, ca)
+    t = _dot(_sub(sc, ca), ab) / jnp.maximum(_sqlen(ab), 1e-12)
+    inside = (t >= 0.0) & (t <= 1.0)
+
+    # lateral case
+    on_axis = _add(ca, _muls(ab, t))
+    l_pt, l_dp, l_n, l_hit = sphere_sphere_cm(sc, sr, on_axis, cr)
+
+    # cap case
+    t_lo = t <= 0.0
+    p = _where(t_lo, ca, cb)
+    up = _where(t_lo, _sub(ca, cb), ab)        # -ab when t<=0 else ab
+    proj = _cross(_cross(up, _sub(sc, p)), up)
+    proj = _muls(proj, 1.0 / jnp.maximum(
+        jnp.sqrt(jnp.maximum(_sqlen(proj), 0.0)), 1e-30))
+    end_a = _add(p, _muls(proj, cr))
+    end_b = _sub(p, _muls(proj, cr))
+    closest = closest_point_point_segment_cm(sc, end_a, end_b)
+    nvec = _sub(closest, sc)
+    sq = _sqlen(nvec)
+    cap_hit = sq <= sr * sr
+    degenerate = sq == 0.0
+    dist = jnp.sqrt(jnp.maximum(sq, 0.0))
+    up_n = _muls(up, 1.0 / jnp.maximum(
+        jnp.sqrt(jnp.maximum(_sqlen(up), 0.0)), 1e-30))
+    normal = _where(degenerate, (-up_n[0], -up_n[1], -up_n[2]),
+                    _muls(nvec, 1.0 / jnp.maximum(dist, 1e-30)))
+    depth = sr - jnp.where(degenerate, 0.0, dist)
+    point = _add(closest, _muls(nvec, 0.5 * depth))
+    # merge
+    pt = _where(inside, l_pt, point)
+    dp = jnp.where(inside, l_dp, depth)
+    nm = _where(inside, l_n, normal)
+    hit = (inside & l_hit) | (~inside & cap_hit)
+    return pt, dp, nm, hit
+
+
+def capsule_cylinder_cm(aa, ab, ar, ba, bb, br):
+    """narrowphase.capsule_cylinder_contact (collision_narrow.cpp:614-704):
+    parallel -> 2-point overlap manifold; else segment-segment closest
+    point -> sphere-cylinder. K=2."""
+    a_dirv = _sub(ab, aa)
+    a_len = jnp.sqrt(jnp.maximum(_sqlen(a_dirv), 0.0))
+    a_dir = _muls(a_dirv, 1.0 / jnp.maximum(a_len, 1e-30))
+    b_dirv = _sub(bb, ba)
+    b_dir = _muls(b_dirv, 1.0 / jnp.maximum(
+        jnp.sqrt(jnp.maximum(_sqlen(b_dirv), 0.0)), 1e-30))
+    par = _dot(a_dir, b_dir)
+    is_parallel = jnp.abs(par) > 0.99
+
+    swap = par < 0.0
+    p_ba = _where(swap, bb, ba)
+    p_bb = _where(swap, ba, bb)
+    b0 = _dot(a_dir, _sub(p_ba, aa))
+    b1 = _dot(a_dir, _sub(p_bb, aa))
+    left = jnp.maximum(0.0, b0)
+    right = jnp.minimum(a_len, b1)
+    overlaps = right >= left
+
+    ca0 = _add(aa, _muls(a_dir, left))
+    ca1 = _add(aa, _muls(a_dir, right))
+    cb0 = closest_point_point_segment_cm(ca0, p_ba, p_bb)
+    cb1 = _add(cb0, _muls(a_dir, right - left))
+    nvec = _sub(cb0, ca0)
+    normal2, d, _deg0 = _normalize_or_up(nvec)
+    deg = d < EPSILON
+    normal2 = _where(deg, (jnp.zeros_like(d), jnp.ones_like(d),
+                           jnp.zeros_like(d)), normal2)
+    pen = (ar + br) - jnp.where(deg, 0.0, d)
+    two_hit = overlaps & (pen >= 0.0)
+    p2_0 = _muls(_add(ca0, cb0), 0.5)
+    p2_1 = _muls(_add(ca1, cb1), 0.5)
+
+    # parallel but no axial overlap: capsule end sphere vs cylinder
+    use_a0 = 0.0 > b1
+    s_end = _where(use_a0, aa, ab)
+    e_pt, e_dp, e_n, e_hit = sphere_cylinder_cm(s_end, ar, ba, bb, br)
+
+    # non-parallel: closest points -> sphere-cylinder
+    c1, _c2 = closest_point_segment_segment_cm(aa, ab, ba, bb)
+    g_pt, g_dp, g_n, g_hit = sphere_cylinder_cm(c1, ar, ba, bb, br)
+
+    one_pt = _where(is_parallel, e_pt, g_pt)
+    one_dp = jnp.where(is_parallel, e_dp, g_dp)
+    one_n = _where(is_parallel, e_n, g_n)
+    one_hit = (is_parallel & e_hit) | (~is_parallel & g_hit)
+
+    use2 = is_parallel & overlaps
+    pt0 = _where(use2, p2_0, one_pt)
+    dp0 = jnp.where(use2, pen, one_dp)
+    normal = _where(use2, normal2, one_n)
+    m0 = (use2 & two_hit) | (~use2 & one_hit)
+    pt1 = p2_1
+    dp1 = pen
+    m1 = use2 & two_hit
+    return [pt0, pt1], [dp0, dp1], normal, [m0, m1]

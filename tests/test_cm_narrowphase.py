@@ -119,6 +119,108 @@ class TestCapsuleBox:
             assert np.minimum(d_direct, d_swap).max() < 1e-3
 
 
+def test_sphere_cylinder():
+    key = jax.random.PRNGKey(11)
+    ks = jax.random.split(key, 5)
+    sc = _rand(ks[0], -1, 1, (N, 3))
+    sr = _rand(ks[1], 0.1, 0.7, (N,))
+    ca = _rand(ks[2], -1, 1, (N, 3))
+    cb = ca + _rand(ks[3], -1.2, 1.2, (N, 3))
+    cr = _rand(ks[4], 0.1, 0.5, (N,))
+    pts, dps, nrm, cnt, hit = jax.vmap(np_aos.sphere_cylinder_contact)(
+        sc, sr, ca, cb, cr)
+    p, d, n, h = cm.sphere_cylinder_cm(_v3(sc), sr, _v3(ca), _v3(cb), cr)
+    live = np.asarray(hit)
+    assert np.array_equal(np.asarray(h), live)
+    assert np.allclose(np.stack([np.asarray(x) for x in p], -1)[live],
+                       np.asarray(pts)[live, 0], atol=1e-5)
+    assert np.allclose(np.asarray(d)[live], np.asarray(dps)[live, 0],
+                       atol=1e-5)
+    got_n = np.stack([np.asarray(x) for x in n], -1)
+    assert np.allclose(got_n[live], np.asarray(nrm)[live], atol=1e-5)
+
+
+def test_capsule_cylinder():
+    key = jax.random.PRNGKey(12)
+    ks = jax.random.split(key, 6)
+    aa = _rand(ks[0], -1, 1, (N, 3))
+    ab = aa + _rand(ks[1], -1.2, 1.2, (N, 3))
+    ba = _rand(ks[2], -1, 1, (N, 3))
+    bb = ba + _rand(ks[3], -1.2, 1.2, (N, 3))
+    ar = _rand(ks[4], 0.1, 0.6, (N,))
+    br = _rand(ks[5], 0.1, 0.6, (N,))
+    # exactly-parallel cases
+    bb = bb.at[:64].set(ba[:64] + (ab[:64] - aa[:64]))
+    bb = bb.at[64:96].set(ba[64:96] - (ab[64:96] - aa[64:96]))
+
+    pts, dps, nrm, cnt, hit = jax.vmap(np_aos.capsule_cylinder_contact)(
+        aa, ab, ar, ba, bb, br)
+    c_pts, c_dps, c_nrm, c_mask = cm.capsule_cylinder_cm(
+        _v3(aa), _v3(ab), ar, _v3(ba), _v3(bb), br)
+
+    mask_aos = np.asarray(hit)[:, None] & (np.arange(4)[None, :]
+                                           < np.asarray(cnt)[:, None])
+    c_mask = np.stack([np.asarray(m) for m in c_mask], 1)
+    assert np.array_equal(c_mask, mask_aos[:, :2]), "live masks differ"
+    for k in range(2):
+        live = mask_aos[:, k]
+        got_p = np.stack([np.asarray(c) for c in c_pts[k]], -1)[live]
+        assert np.allclose(got_p, np.asarray(pts)[live, k], atol=1e-5)
+        assert np.allclose(np.asarray(c_dps[k])[live],
+                           np.asarray(dps)[live, k], atol=1e-5)
+
+
+class TestBoxBox:
+    def test_matches_aos(self):
+        key = jax.random.PRNGKey(7)
+        ks = jax.random.split(key, 6)
+        ca = _rand(ks[0], -0.5, 0.5, (N, 3))
+        ha = _rand(ks[1], 0.2, 0.8, (N, 3))
+        qa = _norm_quat(_rand(ks[2], -1, 1, (N, 4)))
+        cb = ca + _rand(ks[3], -1.0, 1.0, (N, 3))
+        hb = _rand(ks[4], 0.2, 0.8, (N, 3))
+        qb = _norm_quat(_rand(ks[5], -1, 1, (N, 4)))
+        # stacked axis-aligned cases (the box-bench regime: face contacts,
+        # parallel SAT fallback) in the first quarter
+        ident = jnp.array([0.0, 0, 0, 1])
+        qa = qa.at[:64].set(ident)
+        qb = qb.at[:64].set(ident)
+        cb = cb.at[:64, 0].set(ca[:64, 0] + 0.1)
+        cb = cb.at[:64, 2].set(ca[:64, 2] - 0.05)
+        cb = cb.at[:64, 1].set(ca[:64, 1] + ha[:64, 1] + hb[:64, 1] - 0.02)
+
+        pts, dps, nrm, cnt, hit = jax.vmap(np_aos.box_box_contact)(
+            ca, ha, qa, cb, hb, qb)
+        c_pts, c_dps, c_nrm, c_mask = cm.box_box_cm(
+            _v3(ca), _v3(ha), _q4(qa), _v3(cb), _v3(hb), _q4(qb))
+
+        cnt_aos = np.asarray(cnt) * np.asarray(hit)
+        c_mask_np = np.stack([np.asarray(m) for m in c_mask], 1)
+        cnt_cm = c_mask_np.sum(1)
+        agree = cnt_aos == cnt_cm
+        assert agree.mean() > 0.97, (1 - agree.mean())
+
+        got_n = np.stack([np.asarray(c) for c in c_nrm], -1)
+        live = agree & (cnt_aos > 0)
+        assert np.allclose(got_n[live], np.asarray(nrm)[live], atol=1e-4)
+
+        got = np.stack(
+            [np.stack([np.asarray(c) for c in c_pts[k]], -1)
+             for k in range(4)], 1)                        # (N, 4, 3)
+        gd = np.stack([np.asarray(d) for d in c_dps], 1)   # (N, 4)
+        want = np.asarray(pts)
+        wd = np.asarray(dps)
+        # point SETS must match (reduce_manifold order is heuristic)
+        for idx in np.nonzero(live)[0][:200]:
+            k = cnt_aos[idx]
+            a = got[idx][c_mask_np[idx]]
+            b = want[idx, :k]
+            da = np.abs(a[:, None, :] - b[None, :, :]).max(-1).min(-1)
+            assert da.max() < 1e-3, (idx, a, b)
+            assert np.allclose(np.sort(gd[idx][c_mask_np[idx]]),
+                               np.sort(wd[idx, :k]), atol=1e-3)
+
+
 def test_sphere_sphere():
     key = jax.random.PRNGKey(2)
     ks = jax.random.split(key, 4)

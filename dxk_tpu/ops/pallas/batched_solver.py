@@ -21,9 +21,8 @@ lockstep). Concretely:
     compaction; per-env liveness arrives as masked prep: dead pairs have
     eff_mass == 0 and contribute exactly zero impulse — the same guarantee
     the masked XLA path relies on);
-  - joints are hinge / cone-twist only (the ragdoll's types;
-    ragdoll.cpp:36-123); other types or a heightfield fall back to the
-    XLA path;
+  - ALL 7 constraint types solve in-kernel (round 3; reference SIMD paths
+    constraints.cpp:189-3306); a heightfield falls back to the XLA path;
   - solver semantics match solver_mode="jacobi": per-type averaged-Jacobi
     passes in the reference's type order, degree-averaged per body
     (constraints.cpp:3748-3772 order), contact manifolds solved
@@ -92,6 +91,29 @@ CT_SCALS = ("solve_swing_limit", "eff_swing_limit_mass", "swing_limit_bias",
 HINGE_ROWS = len(HINGE_VECS) * 3 + 9 + 4 + 2 + len(HINGE_SCALS)
 CT_ROWS = len(CT_VECS) * 3 + 9 + len(CT_SCALS)
 
+# distance / ball / fixed / slider layouts (round 3: all 7 constraint
+# types solve in-kernel, matching the reference SIMD paths
+# constraints.cpp:189-459, 460-735, 736-1078, 2638-3306)
+DIST_VECS = ("rel_a", "rel_b", "u", "to_wa", "to_wb")
+DIST_SCALS = ("bias", "eff_mass")
+DIST_ROWS = len(DIST_VECS) * 3 + len(DIST_SCALS)
+BALL_VECS = ("rel_a", "rel_b", "bias")
+BALL_SCALS = ()
+BALL_ROWS = len(BALL_VECS) * 3 + 9                       # + inv_eff_mass
+FIXED_VECS = ("rel_a", "rel_b", "translation_bias", "rotation_bias")
+FIXED_SCALS = ()
+FIXED_ROWS = len(FIXED_VECS) * 3 + 9 + 9                 # + mt + mr
+SLIDER_VECS = ("r_au_x_t", "r_au_x_b", "r_b_x_t", "r_b_x_b", "tangent",
+               "bitangent", "axis", "r_au_x_s", "r_b_x_s", "l_to_wa",
+               "l_to_wb", "rotation_bias")
+SLIDER_SCALS = ("solve_limit", "eff_axial_mass", "limit_bias", "limit_sign",
+                "solve_motor", "motor_velocity", "max_motor_impulse")
+SLIDER_ROWS = len(SLIDER_VECS) * 3 + 4 + 2 + 9 + len(SLIDER_SCALS)
+
+# reference solve order within one iteration (constraints.cpp:3748-3772);
+# contacts come after all joint types
+JOINT_ORDER = ("distance", "ball", "fixed", "hinge", "cone_twist", "slider")
+
 
 def fused_eligible(scene, prepped) -> bool:
     """Static check: can this scene solve in the fused kernel?"""
@@ -99,9 +121,6 @@ def fused_eligible(scene, prepped) -> bool:
         return False
     if prepped.contacts is None:
         return False
-    for name in ("distance", "ball", "fixed", "slider"):
-        if getattr(scene, name) is not None:
-            return False
     if scene.broadphase_k > 0:
         return False
     for g in scene.pair_groups:
@@ -143,8 +162,8 @@ def make_fused_solver(scene, num_iterations, omega=1.0):
 
 
 def _group_meta(scene):
-    """Static per-group metadata: (P_g, K_g, body_a, body_b) with bodies as
-    python int lists, in the same phase-sorted order physics_step
+    """Static per-group metadata: (P_g, K_g, body_a, body_b, phase) with
+    bodies as python int lists, in the same phase-sorted order physics_step
     concatenates prep."""
     body_of = np.asarray(scene.colliders.body)
     metas = []
@@ -156,8 +175,21 @@ def _group_meta(scene):
         k = TYPE_MAX_POINTS.get(key, 4)
         metas.append((pairs.shape[0], k,
                       body_of[pairs[:, 0]].tolist(),
-                      body_of[pairs[:, 1]].tolist()))
+                      body_of[pairs[:, 1]].tolist(), int(g.phase)))
     return metas
+
+
+def phase_partition(phases):
+    """Group indices by ascending phase value (input already sorted):
+    [[g, ...], ...] — contact phases run as sequential Gauss-Seidel slices
+    (solver._contact_phased_pass semantics)."""
+    out, last = [], None
+    for g, ph in enumerate(phases):
+        if ph != last:
+            out.append([])
+            last = ph
+        out[-1].append(g)
+    return out
 
 
 # ===========================================================================
@@ -367,6 +399,109 @@ def _cone_twist_one(f, inv_ma, inv_mb, inv_ia, inv_ib, va, wa, vb, wb,
     return va, wa, vb, wb, swing_imp, twist_imp, sm_imp, tm_imp
 
 
+def _distance_one(f, inv_ma, inv_mb, inv_ia, inv_ib, va, wa, vb, wb):
+    """Port of _distance_solve_one (solver.py; constraints.cpp:244-263 with
+    the documented corrected torque arm) to component rows. Inertia args
+    unused (kept for the uniform joint-solve signature)."""
+    av = _add(va, _cross(wa, f["rel_a"]))
+    bv = _add(vb, _cross(wb, f["rel_b"]))
+    cdot = _dot(f["u"], _sub(bv, av)) + f["bias"]
+    lam = -f["eff_mass"] * cdot
+    va = _sub(va, _muls(f["u"], inv_ma * lam))
+    wa = _sub(wa, _muls(f["to_wa"], lam))
+    vb = _add(vb, _muls(f["u"], inv_mb * lam))
+    wb = _add(wb, _muls(f["to_wb"], lam))
+    return va, wa, vb, wb
+
+
+def _ball_one(f, inv_ma, inv_mb, inv_ia, inv_ib, va, wa, vb, wb):
+    """Port of _ball_solve_one (constraints.cpp:508-527)."""
+    av = _add(va, _cross(wa, f["rel_a"]))
+    bv = _add(vb, _cross(wb, f["rel_b"]))
+    cdot = _add(_sub(bv, av), f["bias"])
+    P = _solve_3x3(f["m"], tuple(-c for c in cdot))
+    va = _sub(va, _muls(P, inv_ma))
+    wa = _sub(wa, _matvec(inv_ia, _cross(f["rel_a"], P)))
+    vb = _add(vb, _muls(P, inv_mb))
+    wb = _add(wb, _matvec(inv_ib, _cross(f["rel_b"], P)))
+    return va, wa, vb, wb
+
+
+def _fixed_one(f, inv_ma, inv_mb, inv_ia, inv_ib, va, wa, vb, wb):
+    """Port of _fixed_solve_one (constraints.cpp:787-822): rotation then
+    position."""
+    cdot = _sub(wb, wa)
+    rhs = tuple(-(c + rb) for c, rb in zip(cdot, f["rotation_bias"]))
+    lam = _solve_3x3(f["mr"], rhs)
+    wa = _sub(wa, _matvec(inv_ia, lam))
+    wb = _add(wb, _matvec(inv_ib, lam))
+
+    av = _add(va, _cross(wa, f["rel_a"]))
+    bv = _add(vb, _cross(wb, f["rel_b"]))
+    cdot = _add(_sub(bv, av), f["translation_bias"])
+    P = _solve_3x3(f["mt"], tuple(-c for c in cdot))
+    va = _sub(va, _muls(P, inv_ma))
+    wa = _sub(wa, _matvec(inv_ia, _cross(f["rel_a"], P)))
+    vb = _add(vb, _muls(P, inv_mb))
+    wb = _add(wb, _matvec(inv_ib, _cross(f["rel_b"], P)))
+    return va, wa, vb, wb
+
+
+def _slider_one(f, inv_ma, inv_mb, inv_ia, inv_ib, va, wa, vb, wb,
+                limit_imp, motor_imp):
+    """Port of _slider_solve_one (constraints.cpp:2761-2845): motor ->
+    limit -> rotation -> position."""
+    axis = f["axis"]
+    # motor (pure linear along axis)
+    cdot = _dot(vb, axis) - _dot(va, axis) - f["motor_velocity"]
+    mass = _inv_nz(inv_ma + inv_mb)
+    lam = -mass * cdot
+    new = jnp.clip(motor_imp + lam, -f["max_motor_impulse"],
+                   f["max_motor_impulse"])
+    on = f["solve_motor"] > 0.5
+    lam = jnp.where(on, new - motor_imp, 0.0)
+    motor_imp = jnp.where(on, new, motor_imp)
+    va = _sub(va, _muls(axis, inv_ma * lam))
+    vb = _add(vb, _muls(axis, inv_mb * lam))
+
+    # limit
+    cdot = (_dot(vb, axis) + _dot(wb, f["r_b_x_s"])
+            - _dot(va, axis) - _dot(wa, f["r_au_x_s"]))
+    lam = -f["eff_axial_mass"] * (f["limit_sign"] * cdot + f["limit_bias"])
+    imp = jnp.maximum(limit_imp + lam, 0.0)
+    on = f["solve_limit"] > 0.5
+    lam = jnp.where(on, imp - limit_imp, 0.0)
+    limit_imp = jnp.where(on, imp, limit_imp)
+    lam = lam * f["limit_sign"]
+    va = _sub(va, _muls(axis, inv_ma * lam))
+    wa = _sub(wa, _muls(f["l_to_wa"], lam))
+    vb = _add(vb, _muls(axis, inv_mb * lam))
+    wb = _add(wb, _muls(f["l_to_wb"], lam))
+
+    # rotation (3D)
+    cdot = _sub(wb, wa)
+    rhs = tuple(-(c + rb) for c, rb in zip(cdot, f["rotation_bias"]))
+    lam3 = _solve_3x3(f["mr"], rhs)
+    wa = _sub(wa, _matvec(inv_ia, lam3))
+    wb = _add(wb, _matvec(inv_ib, lam3))
+
+    # position (2D in the plane normal to the slider axis)
+    cx = (_dot(f["tangent"], vb) + _dot(f["r_b_x_t"], wb)
+          - _dot(f["tangent"], va) - _dot(f["r_au_x_t"], wa))
+    cy = (_dot(f["bitangent"], vb) + _dot(f["r_b_x_b"], wb)
+          - _dot(f["bitangent"], va) - _dot(f["r_au_x_b"], wa))
+    l0, l1 = _solve_2x2(f["mt00"], f["mt01"], f["mt10"], f["mt11"],
+                        -(cx + f["tb0"]), -(cy + f["tb1"]))
+    tbv = _add(_muls(f["tangent"], l0), _muls(f["bitangent"], l1))
+    va = _sub(va, _muls(tbv, inv_ma))
+    wa = _sub(wa, _matvec(
+        inv_ia, _add(_muls(f["r_au_x_t"], l0), _muls(f["r_au_x_b"], l1))))
+    vb = _add(vb, _muls(tbv, inv_mb))
+    wb = _add(wb, _matvec(
+        inv_ib, _add(_muls(f["r_b_x_t"], l0), _muls(f["r_b_x_b"], l1))))
+    return va, wa, vb, wb, limit_imp, motor_imp
+
+
 # ===========================================================================
 # the kernel
 #
@@ -442,22 +577,201 @@ def _ct_field_rows(t, j):
     return f
 
 
-def _make_kernel(metas, hinge_ab, ct_ab, nb, num_iterations, omega):
+def _dist_field_rows(t, j):
+    r = j * DIST_ROWS
+    f = {}
+    for name in DIST_VECS:
+        f[name] = (t[r], t[r + 1], t[r + 2])
+        r += 3
+    for name in DIST_SCALS:
+        f[name] = t[r]
+        r += 1
+    return f
+
+
+def _ball_field_rows(t, j):
+    r = j * BALL_ROWS
+    f = {}
+    for name in BALL_VECS:
+        f[name] = (t[r], t[r + 1], t[r + 2])
+        r += 3
+    f["m"] = tuple(t[r + i] for i in range(9))
+    return f
+
+
+def _fixed_field_rows(t, j):
+    r = j * FIXED_ROWS
+    f = {}
+    for name in FIXED_VECS:
+        f[name] = (t[r], t[r + 1], t[r + 2])
+        r += 3
+    f["mt"] = tuple(t[r + i] for i in range(9)); r += 9
+    f["mr"] = tuple(t[r + i] for i in range(9))
+    return f
+
+
+def _slider_field_rows(t, j):
+    r = j * SLIDER_ROWS
+    f = {}
+    for name in SLIDER_VECS:
+        f[name] = (t[r], t[r + 1], t[r + 2])
+        r += 3
+    f["mt00"], f["mt01"], f["mt10"], f["mt11"] = (t[r], t[r + 1], t[r + 2],
+                                                  t[r + 3])
+    r += 4
+    f["tb0"], f["tb1"] = t[r], t[r + 1]
+    r += 2
+    f["mr"] = tuple(t[r + i] for i in range(9)); r += 9
+    for name in SLIDER_SCALS:
+        f[name] = t[r]
+        r += 1
+    return f
+
+
+# ---- per-type extra (matrix / vec2) rows, matching the readers above ------
+
+
+def _joint_extra_hinge(h):
+    extra = [h.inv_eff_trans_mass[..., i, j]
+             for i in range(3) for j in range(3)]
+    extra += [h.inv_eff_rot_mass[..., 0, 0], h.inv_eff_rot_mass[..., 0, 1],
+              h.inv_eff_rot_mass[..., 1, 0], h.inv_eff_rot_mass[..., 1, 1]]
+    extra += [h.rotation_bias[..., 0], h.rotation_bias[..., 1]]
+    return extra
+
+
+def _joint_extra_ct(c):
+    return [c.inv_eff_mass[..., i, j] for i in range(3) for j in range(3)]
+
+
+def _joint_extra_dist(_d):
+    return []
+
+
+def _joint_extra_ball(b):
+    return [b.inv_eff_mass[..., i, j] for i in range(3) for j in range(3)]
+
+
+def _joint_extra_fixed(x):
+    extra = [x.inv_eff_trans_mass[..., i, j]
+             for i in range(3) for j in range(3)]
+    extra += [x.inv_eff_rot_mass[..., i, j]
+              for i in range(3) for j in range(3)]
+    return extra
+
+
+def _joint_extra_slider(s):
+    extra = [s.inv_eff_trans_mass[..., 0, 0], s.inv_eff_trans_mass[..., 0, 1],
+             s.inv_eff_trans_mass[..., 1, 0], s.inv_eff_trans_mass[..., 1, 1]]
+    extra += [s.translation_bias[..., 0], s.translation_bias[..., 1]]
+    extra += [s.inv_eff_rot_mass[..., i, j]
+              for i in range(3) for j in range(3)]
+    return extra
+
+
+# name -> (vecs, scals, rows, extra_fn, reader, solve, n_acc)
+JOINT_SPECS = {
+    "distance": (DIST_VECS, DIST_SCALS, DIST_ROWS, _joint_extra_dist,
+                 _dist_field_rows, _distance_one, 0),
+    "ball": (BALL_VECS, BALL_SCALS, BALL_ROWS, _joint_extra_ball,
+             _ball_field_rows, _ball_one, 0),
+    "fixed": (FIXED_VECS, FIXED_SCALS, FIXED_ROWS, _joint_extra_fixed,
+              _fixed_field_rows, _fixed_one, 0),
+    "hinge": (HINGE_VECS, HINGE_SCALS, HINGE_ROWS, _joint_extra_hinge,
+              _hinge_field_rows, _hinge_one, 2),
+    "cone_twist": (CT_VECS, CT_SCALS, CT_ROWS, _joint_extra_ct,
+                   _ct_field_rows, _cone_twist_one, 4),
+    "slider": (SLIDER_VECS, SLIDER_SCALS, SLIDER_ROWS, _joint_extra_slider,
+               _slider_field_rows, _slider_one, 2),
+}
+
+
+def joint_rows(name):
+    return JOINT_SPECS[name][2]
+
+
+def pack_joint_type(name, prep):
+    """(B, J*ROWS) packed table for one joint type's prep (batched)."""
+    vecs, scals, _rows, extra_fn, _r, _s, _n = JOINT_SPECS[name]
+    return _pack_joint(prep, vecs, scals, extra_fn(prep))
+
+
+def _solve_joint_type(name, ab, t, vw, invm_t, invI_t, nb, L, inv_deg6,
+                      omega, accs):
+    """One averaged-Jacobi pass over all joints of one type. vw: (NB, 6L);
+    t: (J*ROWS, L) packed fields; accs: tuple of per-joint accumulator
+    lists. Returns (vw, new_accs)."""
+    _v, _s, _rows, _e, reader, solve, n_acc = JOINT_SPECS[name]
+    delta = {}
+    new_accs = tuple([] for _ in range(n_acc))
+    for j, (a, b) in enumerate(ab):
+        ra = [vw[a, c * L:(c + 1) * L] for c in range(6)]
+        rb = [vw[b, c * L:(c + 1) * L] for c in range(6)]
+        va, wa = tuple(ra[0:3]), tuple(ra[3:6])
+        vb, wb = tuple(rb[0:3]), tuple(rb[3:6])
+        f = reader(t, j)
+        inv_ia = tuple(invI_t[i * nb + a, :] for i in range(9))
+        inv_ib = tuple(invI_t[i * nb + b, :] for i in range(9))
+        out = solve(f, invm_t[a, :], invm_t[b, :], inv_ia, inv_ib,
+                    va, wa, vb, wb, *[acc[j] for acc in accs])
+        nva, nwa, nvb, nwb = out[:4]
+        _acc(delta, a, _sub(nva, va), _sub(nwa, wa))
+        _acc(delta, b, _sub(nvb, vb), _sub(nwb, wb))
+        for lst, val in zip(new_accs, out[4:]):
+            lst.append(val)
+    vw = _apply_delta(vw, delta, inv_deg6, omega)
+    return vw, new_accs
+
+
+def static_joint_invdeg(scene, nbody):
+    """(6, nbody) 1/degree per joint type — scene constants (wiring is
+    static)."""
+    out = np.ones((len(JOINT_ORDER), nbody), np.float32)
+    for row, name in enumerate(JOINT_ORDER):
+        joint = getattr(scene, name)
+        if joint is None:
+            continue
+        deg = np.zeros(nbody, np.float32)
+        for n in np.asarray(joint.body_a):
+            deg[n] += 1
+        for n in np.asarray(joint.body_b):
+            deg[n] += 1
+        out[row] = 1.0 / np.maximum(deg, 1.0)
+    return out
+
+
+def scene_joint_ab(scene):
+    """[(name, [(a, b), ...])] for every joint type present in the scene,
+    in reference solve order."""
+    out = []
+    for name in JOINT_ORDER:
+        joint = getattr(scene, name)
+        if joint is not None and np.asarray(joint.body_a).shape[0] > 0:
+            out.append((name, list(zip(
+                np.asarray(joint.body_a).tolist(),
+                np.asarray(joint.body_b).tolist()))))
+    return out
+
+
+def _make_kernel(metas, joints, nb, num_iterations, omega):
+    """joints: [(name, [(a, b), ...])] in reference solve order."""
     n_groups = len(metas)
+    phase_groups = phase_partition([m[4] for m in metas])
+    n_ph = len(phase_groups)
 
     def kernel(*refs):
         it = iter(refs)
         vw_ref = next(it)                      # (CB, 6*NB) block
         invm_ref = next(it)                    # (CB, NB)
         invI_ref = next(it)                    # (CB, 9*NB) cols i*NB+n
-        invdeg_ref = next(it)                  # (CB, 3*NB) cols t*NB+n
+        invdeg_ref = next(it)                  # (CB, n_ph*NB) contacts
+        idg_joint_ref = next(it)               # (6, NB) const
         g_con, g_gat, g_sca = [], [], []
         for _g in range(n_groups):
             g_con.append(next(it))             # HBM (B, S*Pg)
             g_gat.append(next(it))             # (2Pg, NB) const
             g_sca.append(next(it))             # (NB, 2Pg) const
-        hinge_ref = next(it) if hinge_ab else None   # (CB, H*RH)
-        ct_ref = next(it) if ct_ab else None         # (CB, C*RC)
+        joint_refs = [next(it) for _ in joints]      # (CB, J*ROWS) each
         vw_out = next(it)                      # (CB, 6*NB)
         imp_outs = [next(it) for _g in range(n_groups)]   # (CB, K*Pg)
         scratches = [next(it) for _g in range(n_groups)]  # (S*Pg, CB) VMEM
@@ -469,7 +783,7 @@ def _make_kernel(metas, hinge_ab, ct_ab, nb, num_iterations, omega):
         # ---- stage contact tensors: one DMA per group (padded width, so
         # the destination slice stays 128-lane aligned), then one MXU
         # transpose into the entity-major scratch
-        for g, (pg, kg, _a, _b) in enumerate(metas):
+        for g, (pg, kg, _a, _b, _ph) in enumerate(metas):
             cols_p = _round128(_con_slices(pg, kg) * pg)
             cp = pltpu.make_async_copy(
                 g_con[g].at[pl.ds(chunk * CB, CB), :],
@@ -482,83 +796,47 @@ def _make_kernel(metas, hinge_ab, ct_ab, nb, num_iterations, omega):
         vw_t = _mxu_t(vw_ref[:, :])       # (6NB, CB)
         invm_t = _mxu_t(invm_ref[:, :])   # (NB, CB)
         invI_t = _mxu_t(invI_ref[:, :])   # (9NB, CB)
-        idg_t = _mxu_t(invdeg_ref[:, :])  # (3NB, CB)
-        hinge_t = _mxu_t(hinge_ref[:, :]) if hinge_ref is not None else None
-        ct_t = _mxu_t(ct_ref[:, :]) if ct_ref is not None else None
+        idg_t = _mxu_t(invdeg_ref[:, :])  # (n_ph*NB, CB)
+        joint_ts = [_mxu_t(r[:, :]) for r in joint_refs]
 
         # vw as (NB, 6*CB): component c of body n in lanes [c*CB:(c+1)*CB]
         # (assembled from the comp-major rows c*NB+n)
         vw0 = jnp.concatenate(
             [vw_t[c * nb:(c + 1) * nb, :] for c in range(6)], axis=1)
-        inv_deg = [jnp.concatenate(
-            [idg_t[t * nb:(t + 1) * nb, :] for _ in range(6)], axis=1)
-            for t in range(3)]
+        inv_deg_con = [jnp.concatenate(
+            [idg_t[p * nb:(p + 1) * nb]] * 6, axis=1) for p in range(n_ph)]
+        type_row = {name: i for i, name in enumerate(JOINT_ORDER)}
+        inv_deg_joint = []
+        for name, _ab in joints:
+            row = jnp.broadcast_to(
+                idg_joint_ref[type_row[name], :][:, None], (nb, CB))
+            inv_deg_joint.append(jnp.concatenate([row] * 6, axis=1))
 
         def comp(x, c):
             return x[:, c * CB:(c + 1) * CB]
 
-        def body_row(vw, n):
-            return [vw[n, c * CB:(c + 1) * CB] for c in range(6)]
-
-        def inv_I(n):
-            return tuple(invI_t[i * nb + n, :] for i in range(9))
-
         def one_iteration(_i, carry):
-            vw, con_imps, hinge_imps, ct_imps = carry
+            vw, con_imps, joint_imps = carry
 
-            # ---- hinge pass (jacobi over the few joints) ----------------
-            if hinge_ab:
-                delta = {}
-                h_lim, h_mot = hinge_imps
-                new_lim, new_mot = [], []
-                for j, (a, b) in enumerate(hinge_ab):
-                    ra = body_row(vw, a)
-                    rb = body_row(vw, b)
-                    va, wa = tuple(ra[0:3]), tuple(ra[3:6])
-                    vb, wb = tuple(rb[0:3]), tuple(rb[3:6])
-                    f = _hinge_field_rows(hinge_t, j)
-                    nva, nwa, nvb, nwb, li, mi = _hinge_one(
-                        f, invm_t[a, :], invm_t[b, :],
-                        inv_I(a), inv_I(b), va, wa, vb, wb,
-                        h_lim[j], h_mot[j])
-                    _acc(delta, a, _sub(nva, va), _sub(nwa, wa))
-                    _acc(delta, b, _sub(nvb, vb), _sub(nwb, wb))
-                    new_lim.append(li)
-                    new_mot.append(mi)
-                vw = _apply_delta(vw, delta, inv_deg[1], omega)
-                hinge_imps = (new_lim, new_mot)
-
-            # ---- cone-twist pass ----------------------------------------
-            if ct_ab:
-                delta = {}
-                c_sw, c_tw, c_sm, c_tm = ct_imps
-                n_sw, n_tw, n_sm, n_tm = [], [], [], []
-                for j, (a, b) in enumerate(ct_ab):
-                    ra = body_row(vw, a)
-                    rb = body_row(vw, b)
-                    va, wa = tuple(ra[0:3]), tuple(ra[3:6])
-                    vb, wb = tuple(rb[0:3]), tuple(rb[3:6])
-                    f = _ct_field_rows(ct_t, j)
-                    (nva, nwa, nvb, nwb, si, ti, smi, tmi) = _cone_twist_one(
-                        f, invm_t[a, :], invm_t[b, :],
-                        inv_I(a), inv_I(b), va, wa, vb, wb,
-                        c_sw[j], c_tw[j], c_sm[j], c_tm[j])
-                    _acc(delta, a, _sub(nva, va), _sub(nwa, wa))
-                    _acc(delta, b, _sub(nvb, vb), _sub(nwb, wb))
-                    n_sw.append(si)
-                    n_tw.append(ti)
-                    n_sm.append(smi)
-                    n_tm.append(tmi)
-                vw = _apply_delta(vw, delta, inv_deg[2], omega)
-                ct_imps = (n_sw, n_tw, n_sm, n_tm)
+            # ---- joint passes in reference type order -------------------
+            new_joint_imps = []
+            for ji, (name, ab) in enumerate(joints):
+                vw, accs = _solve_joint_type(
+                    name, ab, joint_ts[ji], vw, invm_t, invI_t, nb, CB,
+                    inv_deg_joint[ji], omega, joint_imps[ji])
+                new_joint_imps.append(accs)
+            joint_imps = tuple(new_joint_imps)
 
             # ---- contact pass (pair-vectorized per group) ---------------
-            # all groups read the same velocity snapshot (jacobi); per-body
-            # deltas sum across groups then degree-average — the update
-            # _jacobi_pass/_contact_phased_pass computes.
-            all_deltas = jnp.zeros_like(vw)
-            new_con_imps = []
-            for g, (pg, kg, _ba, _bb) in enumerate(metas):
+            # phases run as sequential Gauss-Seidel slices; within a phase
+            # all groups read the same velocity snapshot (jacobi) and
+            # per-body deltas sum then degree-average — exactly
+            # _contact_phased_pass's update.
+            new_con_imps = [None] * n_groups
+            for pi, glist in enumerate(phase_groups):
+              all_deltas = jnp.zeros_like(vw)
+              for g in glist:
+                pg, kg, _ba, _bb, _ph = metas[g]
                 sc = scratches[g]
                 nvec = _cvec_rows(kg)
                 u = jax.lax.dot_general(
@@ -592,7 +870,7 @@ def _make_kernel(metas, hinge_ab, ct_ab, nb, num_iterations, omega):
                         imp_n[k], imp_t[k])
                     nn.append(ik_n)
                     tt.append(ik_t)
-                new_con_imps.append((nn, tt))
+                new_con_imps[g] = (nn, tt)
                 da = list(_sub(va, va0)) + list(_sub(wa, wa0))
                 db = list(_sub(vb, vb0)) + list(_sub(wb, wb0))
                 d = jnp.concatenate(
@@ -602,8 +880,8 @@ def _make_kernel(metas, hinge_ab, ct_ab, nb, num_iterations, omega):
                     g_sca[g][:, :], d,
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)      # (NB, 6CB)
-            vw = vw + all_deltas * (omega * inv_deg[0])
-            return vw, tuple(new_con_imps), hinge_imps, ct_imps
+              vw = vw + all_deltas * (omega * inv_deg_con[pi])
+            return vw, tuple(new_con_imps), joint_imps
 
         # impulse accumulators start at zero every step
         # (constraints.cpp:3324-3325 — no warm starting)
@@ -611,17 +889,19 @@ def _make_kernel(metas, hinge_ab, ct_ab, nb, num_iterations, omega):
         con0 = tuple(
             ([jnp.zeros((pg, CB), jnp.float32) for _ in range(kg)],
              [jnp.zeros((pg, CB), jnp.float32) for _ in range(kg)])
-            for (pg, kg, _a, _b) in metas)
-        hinge0 = ([zero for _ in hinge_ab], [zero for _ in hinge_ab])
-        ct0 = tuple([zero for _ in ct_ab] for _ in range(4))
+            for (pg, kg, _a, _b, _ph) in metas)
+        joints0 = tuple(
+            tuple([zero for _ in ab]
+                  for _ in range(JOINT_SPECS[name][6]))
+            for name, ab in joints)
 
-        vw, con_imps, _h, _c = jax.lax.fori_loop(
-            0, num_iterations, one_iteration, (vw0, con0, hinge0, ct0))
+        vw, con_imps, _j = jax.lax.fori_loop(
+            0, num_iterations, one_iteration, (vw0, con0, joints0))
 
         out_rows = jnp.concatenate(
             [vw[:, c * CB:(c + 1) * CB] for c in range(6)], axis=0)
         vw_out[:, :] = _mxu_t(out_rows)
-        for g, (pg, kg, _a, _b) in enumerate(metas):
+        for g, (pg, kg, _a, _b, _ph) in enumerate(metas):
             nn = con_imps[g][0]
             rows = jnp.concatenate(nn, axis=0)               # (K*Pg, CB)
             imp_outs[g][:, :] = _mxu_t(rows)
@@ -677,7 +957,7 @@ def _pack_contacts(prepped_contacts, metas):
     c = prepped_contacts
     out = []
     off = 0
-    for pg, kg, _a, _b in metas:
+    for pg, kg, _a, _b, _ph in metas:
         sl = slice(off, off + pg)
         parts = []
         for k in range(kg):
@@ -718,18 +998,12 @@ def fused_solve_batched(scene, bodies, prepped, num_iterations, omega=1.0):
     """Batched entry: all `bodies`/`prepped` leaves carry a leading batch
     axis. Returns (v, w, contact_imp_n) batched."""
     metas = _group_meta(scene)
-    hinge_ab = (list(zip(np.asarray(scene.hinge.body_a).tolist(),
-                         np.asarray(scene.hinge.body_b).tolist()))
-                if scene.hinge is not None else [])
-    ct_ab = (list(zip(np.asarray(scene.cone_twist.body_a).tolist(),
-                      np.asarray(scene.cone_twist.body_b).tolist()))
-             if scene.cone_twist is not None else [])
+    joints = scene_joint_ab(scene)
 
+    B0 = bodies.v.shape[0]
+    bodies, prepped = _pad_batch_to_cb((bodies, prepped), B0)
     B = bodies.v.shape[0]
     nb = bodies.v.shape[1]            # includes the dummy row
-    if B % CB:
-        raise ValueError(f"fused solver: batch {B} must be a multiple "
-                         f"of {CB}")
     n_chunks = B // CB
 
     # ---- pack inputs (all batch-major) ------------------------------------
@@ -740,55 +1014,32 @@ def fused_solve_batched(scene, bodies, prepped, num_iterations, omega=1.0):
                          (0, 2, 1)).reshape(B, 9 * nb)       # cols i*N+n
 
     c = prepped.contacts
-    invdeg_con = _inv_degrees(c.body_a, c.body_b, nb)        # (B, N)
-    if hinge_ab:
-        ha = jnp.broadcast_to(scene.hinge.body_a[None, :],
-                              (B, len(hinge_ab)))
-        hb = jnp.broadcast_to(scene.hinge.body_b[None, :],
-                              (B, len(hinge_ab)))
-        invdeg_h = _inv_degrees(ha, hb, nb)
-    else:
-        invdeg_h = jnp.ones((B, nb), jnp.float32)
-    if ct_ab:
-        ca = jnp.broadcast_to(scene.cone_twist.body_a[None, :],
-                              (B, len(ct_ab)))
-        cb2 = jnp.broadcast_to(scene.cone_twist.body_b[None, :],
-                               (B, len(ct_ab)))
-        invdeg_c = _inv_degrees(ca, cb2, nb)
-    else:
-        invdeg_c = jnp.ones((B, nb), jnp.float32)
-    invdeg = jnp.stack([invdeg_con, invdeg_h, invdeg_c],
-                       axis=1).reshape(B, 3 * nb)            # cols t*N+n
+    # per-phase contact inverse degrees (sequential GS slices): cols p*N+n
+    phase_groups = phase_partition([m[4] for m in metas])
+    offs = np.cumsum([0] + [m[0] for m in metas])
+    invdeg_parts = []
+    for glist in phase_groups:
+        lo, hi = offs[glist[0]], offs[glist[-1] + 1]
+        invdeg_parts.append(
+            _inv_degrees(c.body_a[:, lo:hi], c.body_b[:, lo:hi], nb))
+    invdeg_con = jnp.concatenate(invdeg_parts, axis=1)       # (B, n_ph*N)
+    idg_joint = jnp.asarray(static_joint_invdeg(scene, nb))  # (6, N) const
 
     con_ts = _pack_contacts(c, metas)
 
     gats, scas = [], []
-    for pg, kg, ba, bb in metas:
+    for pg, kg, ba, bb, _ph in metas:
         gat = np.zeros((2 * pg, nb), np.float32)
         gat[np.arange(pg), ba] = 1.0
         gat[pg + np.arange(pg), bb] = 1.0
         gats.append(jnp.asarray(gat))
         scas.append(jnp.asarray(gat.T.copy()))
 
-    h = prepped.hinge
-    hinge_t = None
-    if hinge_ab:
-        extra = [h.inv_eff_trans_mass[..., i, j]
-                 for i in range(3) for j in range(3)]
-        extra += [h.inv_eff_rot_mass[..., 0, 0], h.inv_eff_rot_mass[..., 0, 1],
-                  h.inv_eff_rot_mass[..., 1, 0], h.inv_eff_rot_mass[..., 1, 1]]
-        extra += [h.rotation_bias[..., 0], h.rotation_bias[..., 1]]
-        hinge_t = _pack_joint(h, HINGE_VECS, HINGE_SCALS, extra)
-
-    ctp = prepped.cone_twist
-    ct_t = None
-    if ct_ab:
-        extra = [ctp.inv_eff_mass[..., i, j]
-                 for i in range(3) for j in range(3)]
-        ct_t = _pack_joint(ctp, CT_VECS, CT_SCALS, extra)
+    joint_ts = [pack_joint_type(name, getattr(prepped, name))
+                for name, _ab in joints]
 
     # ---- pallas call ------------------------------------------------------
-    kernel = _make_kernel(metas, hinge_ab, ct_ab, nb, num_iterations, omega)
+    kernel = _make_kernel(metas, joints, nb, num_iterations, omega)
 
     def bspec(cols):
         return pl.BlockSpec((CB, cols), (lambda ch: (ch, 0)),
@@ -799,31 +1050,30 @@ def fused_solve_batched(scene, bodies, prepped, num_iterations, omega=1.0):
         return pl.BlockSpec(shape, (lambda ch, _nd=nd: (0,) * _nd),
                             memory_space=pltpu.VMEM)
 
-    in_specs = [bspec(6 * nb), bspec(nb), bspec(9 * nb), bspec(3 * nb)]
-    inputs = [vw, invm, invI, invdeg]
+    in_specs = [bspec(6 * nb), bspec(nb), bspec(9 * nb),
+                bspec(len(phase_groups) * nb),
+                const_spec((len(JOINT_ORDER), nb))]
+    inputs = [vw, invm, invI, invdeg_con, idg_joint]
     max_cols = 0
-    for g, (pg, kg, _a, _b) in enumerate(metas):
+    for g, (pg, kg, _a, _b, _ph) in enumerate(metas):
         in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
         inputs.append(con_ts[g])
         in_specs += [const_spec((2 * pg, nb)), const_spec((nb, 2 * pg))]
         inputs += [gats[g], scas[g]]
         max_cols = max(max_cols, _con_slices(pg, kg) * pg)
-    if hinge_ab:
-        in_specs.append(bspec(len(hinge_ab) * HINGE_ROWS))
-        inputs.append(hinge_t)
-    if ct_ab:
-        in_specs.append(bspec(len(ct_ab) * CT_ROWS))
-        inputs.append(ct_t)
+    for (name, ab), t in zip(joints, joint_ts):
+        in_specs.append(bspec(len(ab) * joint_rows(name)))
+        inputs.append(t)
 
     out_shapes = [jax.ShapeDtypeStruct((B, 6 * nb), jnp.float32)]
     out_specs = [bspec(6 * nb)]
-    for pg, kg, _a, _b in metas:
+    for pg, kg, _a, _b, _ph in metas:
         out_shapes.append(jax.ShapeDtypeStruct((B, kg * pg), jnp.float32))
         out_specs.append(bspec(kg * pg))
 
     scratch_shapes = [
         pltpu.VMEM((_round128(_con_slices(pg, kg) * pg), CB), jnp.float32)
-        for pg, kg, _a, _b in metas]
+        for pg, kg, _a, _b, _ph in metas]
     scratch_shapes.append(pltpu.VMEM((CB, _round128(max_cols)), jnp.float32))
     scratch_shapes.append(pltpu.SemaphoreType.DMA)
 
@@ -846,43 +1096,24 @@ def fused_solve_batched(scene, bodies, prepped, num_iterations, omega=1.0):
 
     # reassemble (B, P_total, 4) accumulated normal impulses
     imps = []
-    for g, (pg, kg, _a, _b) in enumerate(metas):
+    for g, (pg, kg, _a, _b, _ph) in enumerate(metas):
         x = outs[1 + g].reshape(B, kg, pg)
         x = jnp.transpose(x, (0, 2, 1))               # (B, Pg, K)
         if kg < 4:
             x = jnp.pad(x, ((0, 0), (0, 0), (0, 4 - kg)))
         imps.append(x)
     imp_n = jnp.concatenate(imps, axis=1)
-    return v_new, w_new, imp_n
+    return (v_new[:B0], w_new[:B0], imp_n[:B0]) if B0 != B else (
+        v_new, w_new, imp_n)
 
 
-def make_fused_solver(scene, num_iterations, omega=1.0):
-    """Returns fn(bodies, prepped) -> (v, w, contact_imp_n).
-
-    The returned function is a jax.custom_batching.custom_vmap: called
-    unbatched (a single env) it runs the XLA jacobi path; under vmap the
-    whole env batch enters the fused kernel. physics_step stays per-env
-    code — the batch dimension the caller's vmap introduces is what the
-    kernel consumes."""
-    from dxk_tpu.ops.solver import solve_constraints
-
-    @jax.custom_batching.custom_vmap
-    def fused(bodies, prepped):
-        out_bodies, imp = solve_constraints(bodies, prepped, num_iterations,
-                                            "jacobi", omega)
-        return out_bodies.v, out_bodies.w, imp
-
-    @fused.def_vmap
-    def _fused_vmap(axis_size, in_batched, bodies, prepped):
-        # leaves that are scene constants (inv_mass, static tables) arrive
-        # unbatched — broadcast them so the packer sees uniform (B, ...)
-        def bc(x, b):
-            return x if b else jnp.broadcast_to(
-                jnp.asarray(x), (axis_size, *jnp.shape(x)))
-        bodies = jax.tree_util.tree_map(bc, bodies, in_batched[0])
-        prepped = jax.tree_util.tree_map(bc, prepped, in_batched[1])
-        v, w, imp = fused_solve_batched(scene, bodies, prepped,
-                                        num_iterations, omega)
-        return (v, w, imp), (True, True, True)
-
-    return fused
+def _pad_batch_to_cb(tree, B):
+    """Pad every leaf's leading batch axis to a CB multiple by REPEATING
+    valid envs (idx mod B). Zero-padding is unsafe: garbage lanes (e.g.
+    zero quaternions) can breed NaNs, and NaN*0 through the in-kernel
+    MXU-identity transposes contaminates every lane of a row."""
+    pad = (-B) % CB
+    if not pad:
+        return tree
+    idx = jnp.arange(B + pad) % B
+    return jax.tree_util.tree_map(lambda x: x[idx], tree)

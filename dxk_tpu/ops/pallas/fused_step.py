@@ -35,18 +35,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 from dxk_tpu.ops.pallas import cm_narrowphase as cm
 from dxk_tpu.ops.pallas.batched_solver import (
-    CB, CT_ROWS, HINGE_ROWS, TYPE_MAX_POINTS, _acc, _apply_delta,
-    _contact_point, _cone_twist_one, _ct_field_rows, _hinge_field_rows,
-    _hinge_one, _mxu_t, _round128, _sub, _pack_joint, HINGE_VECS,
-    HINGE_SCALS, CT_VECS, CT_SCALS)
+    CB, JOINT_ORDER, JOINT_SPECS, TYPE_MAX_POINTS, _mxu_t, _round128,
+    _contact_point, _solve_joint_type, _sub, joint_rows, pack_joint_type,
+    scene_joint_ab, static_joint_invdeg)
 
 # collider param pack: 11 floats per collider, param-major columns
 # [a(3) | b(3) | r | rot(4)]  (WorldColliders fields; b = endpoint for
 # capsules, half-extents for boxes)
 COL_PARAMS = 11
 
-# sphere-sphere/capsule/box, capsule-capsule, capsule-box
-CM_RECIPES = {(0, 0), (0, 1), (0, 3), (1, 1), (1, 3)}
+# sphere-sphere/capsule/cylinder/box, capsule-capsule/cylinder/box, box-box
+CM_RECIPES = {(0, 0), (0, 1), (0, 2), (0, 3),
+              (1, 1), (1, 2), (1, 3), (3, 3)}
 
 
 def fused2_eligible(scene) -> bool:
@@ -55,9 +55,6 @@ def fused2_eligible(scene) -> bool:
     are fine (they ride the prep-passed path)."""
     if scene.heightfield is not None:
         return False
-    for name in ("distance", "ball", "fixed", "slider"):
-        if getattr(scene, name) is not None:
-            return False
     if scene.broadphase_k > 0:
         return False
     if not scene.pair_groups:
@@ -89,7 +86,8 @@ def _group_static(scene):
             pg=pairs.shape[0], k=k, ta=ta, tb=tb, native=key in CM_RECIPES,
             col_a=ca.tolist(), col_b=cb2.tolist(),
             body_a=body_of[ca].tolist(), body_b=body_of[cb2].tolist(),
-            fric=pf.astype(np.float32), rest=pr.astype(np.float32)))
+            fric=pf.astype(np.float32), rest=pr.astype(np.float32),
+            phase=int(g.phase)))
     return out
 
 
@@ -113,6 +111,7 @@ def _narrow_native(meta, pa, pb):
     a3 = tuple(pa[0:3])
     b3a = tuple(pa[3:6])
     ra = pa[6]
+    qa = tuple(pa[7:11])
     a3b = tuple(pb[0:3])
     b3b = tuple(pb[3:6])
     rb = pb[6]
@@ -124,13 +123,20 @@ def _narrow_native(meta, pa, pb):
     if key == (0, 1):
         p, d, n, h = cm.sphere_capsule_cm(a3, ra, a3b, b3b, rb)
         return [p], [d], n, [h]
+    if key == (0, 2):
+        p, d, n, h = cm.sphere_cylinder_cm(a3, ra, a3b, b3b, rb)
+        return [p], [d], n, [h]
     if key == (0, 3):
         p, d, n, h = cm.sphere_box_cm(a3, ra, a3b, b3b, qb)
         return [p], [d], n, [h]
     if key == (1, 1):
         return cm.capsule_capsule_cm(a3, b3a, ra, a3b, b3b, rb)
+    if key == (1, 2):
+        return cm.capsule_cylinder_cm(a3, b3a, ra, a3b, b3b, rb)
     if key == (1, 3):
         return cm.capsule_box_cm(a3, b3a, ra, a3b, b3b, qb)
+    if key == (3, 3):
+        return cm.box_box_cm(a3, b3a, qa, a3b, b3b, qb)
     raise AssertionError(f"no cm recipe for {key}")
 
 
@@ -208,7 +214,9 @@ def _prep_points(pts, dps, normal, masks, meta, gat, pos_tab, invI_tab,
                           0.0) * mask
 
         slop = -0.001
-        active = (-depth < slop) & (vn0 < 0.0)
+        # dt <= DT_THRESHOLD (1e-5) <=> inv_dt >= 1e5: zero the whole bias,
+        # matching prep_contacts' guard (solver.py) for degenerate dt
+        active = (-depth < slop) & (vn0 < 0.0) & (inv_dt < 1e5)
         bias = jnp.where(active,
                          -rest_c * vn0 - 0.1 * (-depth - slop) * inv_dt,
                          0.0)
@@ -222,19 +230,21 @@ def _prep_points(pts, dps, normal, masks, meta, gat, pos_tab, invI_tab,
     return out, inv_ma, inv_mb, imp_shape
 
 
-def _fused_core(metas, hinge_ab, ct_ab, nbody, L, num_iterations, omega,
+def _fused_core(metas, joints, nbody, L, num_iterations, omega,
                 inv_dt,
-                vw0, invm_t, invI_t, pos_t, idg_h2, idg_c2,
+                vw0, invm_t, invI_t, pos_t, idg_joint,
                 cols_tab, group_onehots, group_incidence, group_fricrest,
-                passed_preps, hinge_t, ct_t):
+                passed_preps, joint_ts):
     """The whole contact pipeline on comp-major arrays with L env lanes.
 
     vw0 (NB, 6L); invm_t (NB, L); invI_t (9NB, L); pos_t (3NB, L);
-    idg_joint: (2, NB, L) hinge/ct inverse degrees; cols_tab (C, 11L);
+    joints: [(name, [(a, b), ...])] in reference solve order;
+    idg_joint[i]: (NB, L) inverse degrees for joints[i];
+    joint_ts[i]: (J*ROWS, L) packed fields for joints[i];
+    cols_tab (C, 11L);
     group_onehots[g] = (Ga (Pg,C), Gb (Pg,C)) or None for passed groups;
     group_incidence[g] = (gat (2Pg, NB), sca (NB, 2Pg));
-    passed_preps[g] = per-point ((cv, cs)) list + (inv_ma, inv_mb) or None;
-    hinge_t (H*RH, L)/None, ct_t likewise.
+    passed_preps[g] = per-point ((cv, cs)) list + (inv_ma, inv_mb) or None.
 
     Returns (vw (NB, 6L), imp_n per group list[K of (Pg, L)],
     live per group (Pg, L) bool)."""
@@ -246,16 +256,40 @@ def _fused_core(metas, hinge_ab, ct_ab, nbody, L, num_iterations, omega,
         [pos_t[i * nbody:(i + 1) * nbody] for i in range(3)], axis=1)
     invm_tab = invm_t
 
-    # ---- narrowphase + prep per group (once per step) ---------------------
+    # ---- narrowphase per TYPE bucket (once per step) ----------------------
+    # Phase splitting can turn one shape pair into up to num_phases groups;
+    # instantiating a recipe graph (box_box_cm is ~5k ops) per GROUP blows
+    # up trace/compile time ~linearly in phases. Run each recipe ONCE over
+    # the concatenated pairs of all its groups, slice results back per
+    # group. Identical math; bigger sublane extents for the vregs too.
+    buckets = {}
+    for g, meta in enumerate(metas):
+        if meta["native"]:
+            key = (min(meta["ta"], meta["tb"]), max(meta["ta"], meta["tb"]))
+            buckets.setdefault(key, []).append(g)
+    native_out = {}
+    for key, gl in sorted(buckets.items()):
+        ga = jnp.concatenate([group_onehots[g][0] for g in gl], axis=0)
+        gb = jnp.concatenate([group_onehots[g][1] for g in gl], axis=0)
+        pa = _gather_params(ga, cols_tab, L)
+        pb = _gather_params(gb, cols_tab, L)
+        pts, dps, normal, masks = _narrow_native(metas[gl[0]], pa, pb)
+        off = 0
+        for g in gl:
+            sl = slice(off, off + metas[g]["pg"])
+            native_out[g] = ([tuple(c[sl] for c in p) for p in pts],
+                             [d[sl] for d in dps],
+                             tuple(c[sl] for c in normal),
+                             [m[sl] for m in masks])
+            off += metas[g]["pg"]
+
+    # ---- prep per group ---------------------------------------------------
     group_fields = []
     group_live = []
     for g, meta in enumerate(metas):
         gat, _sca = group_incidence[g]
         if meta["native"]:
-            ga, gb = group_onehots[g]
-            pa = _gather_params(ga, cols_tab, L)
-            pb = _gather_params(gb, cols_tab, L)
-            pts, dps, normal, masks = _narrow_native(meta, pa, pb)
+            pts, dps, normal, masks = native_out[g]
             fr, re = group_fricrest[g]
             fields, inv_ma, inv_mb, _ = _prep_points(
                 pts, dps, normal, masks, meta, gat, pos_tab, invI_tab,
@@ -268,74 +302,41 @@ def _fused_core(metas, hinge_ab, ct_ab, nbody, L, num_iterations, omega,
         group_fields.append((fields, inv_ma, inv_mb))
         group_live.append(live)
 
-    # ---- contact inverse degrees from live pairs --------------------------
-    deg = jnp.zeros((nbody, L), jnp.float32)
-    for g, meta in enumerate(metas):
-        _gat, sca = group_incidence[g]
-        lv = group_live[g].astype(jnp.float32)
-        both = jnp.concatenate([lv, lv], axis=0)          # (2Pg, L)
-        deg = deg + jax.lax.dot_general(
-            sca, both, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-    inv_deg_con = jnp.concatenate(
-        [1.0 / jnp.maximum(deg, 1.0)] * 6, axis=1)        # (NB, 6L)
-    inv_deg_h = jnp.concatenate([idg_h2] * 6, axis=1)
-    inv_deg_c = jnp.concatenate([idg_c2] * 6, axis=1)
-
-    def body_row(vw, n):
-        return [vw[n, c * L:(c + 1) * L] for c in range(6)]
-
-    def inv_I(n):
-        return tuple(invI_t[i * nbody + n, :] for i in range(9))
+    # ---- contact inverse degrees from live pairs, per phase slice ---------
+    from dxk_tpu.ops.pallas.batched_solver import phase_partition
+    phase_groups = phase_partition([m["phase"] for m in metas])
+    inv_deg_con = []
+    for glist in phase_groups:
+        deg = jnp.zeros((nbody, L), jnp.float32)
+        for g in glist:
+            _gat, sca = group_incidence[g]
+            lv = group_live[g].astype(jnp.float32)
+            both = jnp.concatenate([lv, lv], axis=0)      # (2Pg, L)
+            deg = deg + jax.lax.dot_general(
+                sca, both, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        inv_deg_con.append(jnp.concatenate(
+            [1.0 / jnp.maximum(deg, 1.0)] * 6, axis=1))   # (NB, 6L)
+    inv_deg_joint = [jnp.concatenate([idg] * 6, axis=1)
+                     for idg in idg_joint]
 
     def one_iteration(_i, carry):
-        vw, con_imps, hinge_imps, ct_imps = carry
+        vw, con_imps, joint_imps = carry
 
-        if hinge_ab:
-            delta = {}
-            h_lim, h_mot = hinge_imps
-            new_lim, new_mot = [], []
-            for j, (a, b) in enumerate(hinge_ab):
-                ra = body_row(vw, a)
-                rb = body_row(vw, b)
-                va, wa = tuple(ra[0:3]), tuple(ra[3:6])
-                vb, wb = tuple(rb[0:3]), tuple(rb[3:6])
-                f = _hinge_field_rows(hinge_t, j)
-                nva, nwa, nvb, nwb, li, mi = _hinge_one(
-                    f, invm_t[a, :], invm_t[b, :], inv_I(a), inv_I(b),
-                    va, wa, vb, wb, h_lim[j], h_mot[j])
-                _acc(delta, a, _sub(nva, va), _sub(nwa, wa))
-                _acc(delta, b, _sub(nvb, vb), _sub(nwb, wb))
-                new_lim.append(li)
-                new_mot.append(mi)
-            vw = _apply_delta(vw, delta, inv_deg_h, omega)
-            hinge_imps = (new_lim, new_mot)
+        # ---- joint passes in reference type order -----------------------
+        new_joint_imps = []
+        for ji, (name, ab) in enumerate(joints):
+            vw, accs = _solve_joint_type(
+                name, ab, joint_ts[ji], vw, invm_t, invI_t, nbody, L,
+                inv_deg_joint[ji], omega, joint_imps[ji])
+            new_joint_imps.append(accs)
+        joint_imps = tuple(new_joint_imps)
 
-        if ct_ab:
-            delta = {}
-            c_sw, c_tw, c_sm, c_tm = ct_imps
-            n_sw, n_tw, n_sm, n_tm = [], [], [], []
-            for j, (a, b) in enumerate(ct_ab):
-                ra = body_row(vw, a)
-                rb = body_row(vw, b)
-                va, wa = tuple(ra[0:3]), tuple(ra[3:6])
-                vb, wb = tuple(rb[0:3]), tuple(rb[3:6])
-                f = _ct_field_rows(ct_t, j)
-                (nva, nwa, nvb, nwb, si, ti, smi, tmi) = _cone_twist_one(
-                    f, invm_t[a, :], invm_t[b, :], inv_I(a), inv_I(b),
-                    va, wa, vb, wb, c_sw[j], c_tw[j], c_sm[j], c_tm[j])
-                _acc(delta, a, _sub(nva, va), _sub(nwa, wa))
-                _acc(delta, b, _sub(nvb, vb), _sub(nwb, wb))
-                n_sw.append(si)
-                n_tw.append(ti)
-                n_sm.append(smi)
-                n_tm.append(tmi)
-            vw = _apply_delta(vw, delta, inv_deg_c, omega)
-            ct_imps = (n_sw, n_tw, n_sm, n_tm)
-
-        all_deltas = jnp.zeros_like(vw)
-        new_con_imps = []
-        for g, meta in enumerate(metas):
+        new_con_imps = [None] * len(metas)
+        for pi, glist in enumerate(phase_groups):
+          all_deltas = jnp.zeros_like(vw)
+          for g in glist:
+            meta = metas[g]
             pg = meta["pg"]
             gat, sca = group_incidence[g]
             fields, inv_ma, inv_mb = group_fields[g]
@@ -360,7 +361,7 @@ def _fused_core(metas, hinge_ab, ct_ab, nbody, L, num_iterations, omega,
                     imp_n[k], imp_t[k])
                 nn.append(ik_n)
                 tt.append(ik_t)
-            new_con_imps.append((nn, tt))
+            new_con_imps[g] = (nn, tt)
             da = list(_sub(va, va0)) + list(_sub(wa, wa0))
             db = list(_sub(vb, vb0)) + list(_sub(wb, wb0))
             d = jnp.concatenate(
@@ -369,183 +370,26 @@ def _fused_core(metas, hinge_ab, ct_ab, nbody, L, num_iterations, omega,
             all_deltas = all_deltas + jax.lax.dot_general(
                 sca, d, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-        vw = vw + all_deltas * (omega * inv_deg_con)
-        return vw, tuple(new_con_imps), hinge_imps, ct_imps
+          vw = vw + all_deltas * (omega * inv_deg_con[pi])
+        return vw, tuple(new_con_imps), joint_imps
 
     zero = jnp.zeros((L,), jnp.float32)
     con0 = tuple(
         ([jnp.zeros((m["pg"], L), jnp.float32) for _ in range(m["k"])],
          [jnp.zeros((m["pg"], L), jnp.float32) for _ in range(m["k"])])
         for m in metas)
-    hinge0 = ([zero for _ in hinge_ab], [zero for _ in hinge_ab])
-    ct0 = tuple([zero for _ in ct_ab] for _ in range(4))
+    joints0 = tuple(
+        tuple([zero for _ in ab] for _ in range(JOINT_SPECS[name][6]))
+        for name, ab in joints)
 
-    vw, con_imps, _h, _c = jax.lax.fori_loop(
-        0, num_iterations, one_iteration, (vw0, con0, hinge0, ct0))
+    vw, con_imps, _j = jax.lax.fori_loop(
+        0, num_iterations, one_iteration, (vw0, con0, joints0))
     imp_out = [con_imps[g][0] for g in range(len(metas))]
     return vw, imp_out, group_live
 
 
 # ===========================================================================
 # kernel + packing + custom_vmap
-
-
-def _scratch_reader(sc, meta, L):
-    """Rebuild the passed-prep field structure from a v1-packed scratch
-    (rows ordered (k, field, comp)-major, pair minor — see
-    batched_solver._pack_contacts)."""
-    pg, kg = meta["pg"], meta["k"]
-    nvec = kg * 8 * 3
-    fields = []
-    for k in range(kg):
-        cv = []
-        for fi in range(8):
-            base = (k * 8 + fi) * 3
-            cv.append(tuple(sc[(base + c) * pg:(base + c + 1) * pg, :]
-                            for c in range(3)))
-        cs = tuple(sc[(nvec + k * 4 + si) * pg:(nvec + k * 4 + si + 1) * pg,
-                      :] for si in range(4))
-        fields.append((tuple(cv), cs))
-    inv_ma = sc[(nvec + kg * 4) * pg:(nvec + kg * 4 + 1) * pg, :]
-    inv_mb = sc[(nvec + kg * 4 + 1) * pg:(nvec + kg * 4 + 2) * pg, :]
-    live = fields[0][1][0] > 0.0            # eff_mass_n of point 0
-    for k in range(1, kg):
-        live = live | (fields[k][1][0] > 0.0)
-    return (fields, inv_ma, inv_mb, live)
-
-
-def _pack_passed(prep_slice, pg, kg):
-    """(B, S*Pg)-packed prep for one prep-passed group (the v1 layout)."""
-    c = prep_slice
-    parts = []
-    from dxk_tpu.ops.pallas.batched_solver import SCAL_FIELDS, VEC_FIELDS
-    for k in range(kg):
-        for f in VEC_FIELDS:
-            v = getattr(c, f)
-            for ci in range(3):
-                parts.append(v[:, :, k, ci])
-    for k in range(kg):
-        for f in SCAL_FIELDS:
-            parts.append(getattr(c, f)[:, :, k])
-    parts.append(c.inv_ma)
-    parts.append(c.inv_mb)
-    t = jnp.stack(parts, axis=1)                 # (B, S, Pg)
-    t = t.reshape(t.shape[0], -1)
-    pad = _round128(t.shape[1]) - t.shape[1]
-    if pad:
-        t = jnp.pad(t, ((0, 0), (0, pad)))
-    return t
-
-
-def _static_joint_invdeg(scene, nbody):
-    """Joint degrees are scene constants."""
-    out = np.ones((2, nbody), np.float32)
-    for row, joint in ((0, scene.hinge), (1, scene.cone_twist)):
-        if joint is None:
-            continue
-        deg = np.zeros(nbody, np.float32)
-        for n in np.asarray(joint.body_a):
-            deg[n] += 1
-        for n in np.asarray(joint.body_b):
-            deg[n] += 1
-        out[row] = 1.0 / np.maximum(deg, 1.0)
-    return out
-
-
-def _make_kernel2(metas, hinge_ab, ct_ab, nb, ncol, num_iterations, omega):
-    n_groups = len(metas)
-    passed = [m for m in metas if not m["native"]]
-
-    # static constants baked at trace time
-    def np_onehot(idx, n):
-        oh = np.zeros((len(idx), n), np.float32)
-        oh[np.arange(len(idx)), idx] = 1.0
-        return oh
-
-    def kernel(*refs):
-        it = iter(refs)
-        invdt_ref = next(it)                   # (1, 1) SMEM
-        vw_ref = next(it)                      # (CB, 6N)
-        invm_ref = next(it)                    # (CB, N)
-        invI_ref = next(it)                    # (CB, 9N)
-        pos_ref = next(it)                     # (CB, 3N)
-        col_ref = next(it)                     # (CB, 11C)
-        g_gat, g_sca, g_oh = [], [], []
-        g_passed_hbm = []
-        for m in metas:
-            g_gat.append(next(it))
-            g_sca.append(next(it))
-            if m["native"]:
-                g_oh.append((next(it), next(it)))
-            else:
-                g_oh.append(None)
-                g_passed_hbm.append(next(it))
-        hinge_ref = next(it) if hinge_ab else None
-        ct_ref = next(it) if ct_ab else None
-        vw_out = next(it)
-        imp_outs = [next(it) for _ in range(n_groups)]
-        live_outs = [next(it) for _ in range(n_groups)]
-        scratches = [next(it) for _ in passed]
-        bounce = next(it) if passed else None
-        sem = next(it) if passed else None
-
-        chunk = pl.program_id(0)
-        inv_dt = invdt_ref[0, 0]
-
-        # stage prep-passed groups (DMA + MXU transpose)
-        pi = 0
-        passed_read = {}
-        for g, m in enumerate(metas):
-            if m["native"]:
-                continue
-            cols_p = scratches[pi].shape[0]
-            cp = pltpu.make_async_copy(
-                g_passed_hbm[pi].at[pl.ds(chunk * CB, CB), :],
-                bounce.at[:, pl.ds(0, cols_p)], sem)
-            cp.start()
-            cp.wait()
-            scratches[pi][:, :] = _mxu_t(bounce[:, :cols_p])
-            passed_read[g] = _scratch_reader(scratches[pi], m, CB)
-            pi += 1
-
-        vw_t = _mxu_t(vw_ref[:, :])
-        invm_t = _mxu_t(invm_ref[:, :])
-        invI_t = _mxu_t(invI_ref[:, :])
-        pos_t = _mxu_t(pos_ref[:, :])
-        col_t = _mxu_t(col_ref[:, :])          # (11C, CB)
-        hinge_t = _mxu_t(hinge_ref[:, :]) if hinge_ref is not None else None
-        ct_t = _mxu_t(ct_ref[:, :]) if ct_ref is not None else None
-
-        vw0 = jnp.concatenate(
-            [vw_t[c * nb:(c + 1) * nb] for c in range(6)], axis=1)
-        cols_tab = jnp.concatenate(
-            [col_t[i * ncol:(i + 1) * ncol] for i in range(COL_PARAMS)],
-            axis=1)                            # (C, 11CB)
-
-        idg = jnp.asarray(kernel.idg_joint[:, :, None])
-        idg_joint = jnp.broadcast_to(idg, (2, nb, CB))
-
-        onehots = [
-            (g_oh[g][0][:, :], g_oh[g][1][:, :]) if m["native"] else None
-            for g, m in enumerate(metas)]
-        incidence = [(g_gat[g][:, :], g_sca[g][:, :])
-                     for g in range(n_groups)]
-        passed_preps = [passed_read.get(g) for g in range(n_groups)]
-
-        vw, imp_out, live = _fused_core(
-            metas, hinge_ab, ct_ab, nb, CB, num_iterations, omega, inv_dt,
-            vw0, invm_t, invI_t, pos_t, idg_joint,
-            cols_tab, onehots, incidence, passed_preps, hinge_t, ct_t)
-
-        out_rows = jnp.concatenate(
-            [vw[:, c * CB:(c + 1) * CB] for c in range(6)], axis=0)
-        vw_out[:, :] = _mxu_t(out_rows)
-        for g, m in enumerate(metas):
-            rows = jnp.concatenate(imp_out[g], axis=0)       # (K*Pg, CB)
-            imp_outs[g][:, :] = _mxu_t(rows)
-            live_outs[g][:, :] = _mxu_t(live[g].astype(jnp.float32))
-
-    return kernel
 
 
 def _np_onehot(idx, n):
@@ -562,45 +406,29 @@ def _incidence(m, nb):
     return gat, gat.T.copy()
 
 
-def _joint_extra_hinge(h):
-    extra = [h.inv_eff_trans_mass[..., i, j]
-             for i in range(3) for j in range(3)]
-    extra += [h.inv_eff_rot_mass[..., 0, 0], h.inv_eff_rot_mass[..., 0, 1],
-              h.inv_eff_rot_mass[..., 1, 0], h.inv_eff_rot_mass[..., 1, 1]]
-    extra += [h.rotation_bias[..., 0], h.rotation_bias[..., 1]]
-    return extra
-
-
-def _joint_extra_ct(c):
-    return [c.inv_eff_mass[..., i, j] for i in range(3) for j in range(3)]
-
-
 def make_fused_step_solver(scene, num_iterations, omega=1.0):
-    """Returns fn(bodies, w_pack, hinge_prep, ct_prep, passed, inv_dt) ->
+    """Returns fn(bodies, w_pack, joint_preps, passed, inv_dt) ->
     (v, w, imp_n (Ptot, 4), live (Ptot,)) per env, as a custom_vmap: the
     vmapped call launches the fused kernel on the whole batch; the
     unbatched call runs the identical `_fused_core` as plain XLA with one
     env lane.
 
     w_pack: (11, C) world collider params, param-major (see COL_PARAMS);
-    passed: tuple of ContactPrep slices for non-native groups, in group
-    order (empty tuple when all groups are native); inv_dt: () scalar."""
+    joint_preps: tuple of prep structs for the scene's joint types, in
+    scene_joint_ab order; passed: tuple of ContactPrep slices for
+    non-native groups, in group order (empty tuple when all groups are
+    native); inv_dt: () scalar."""
     metas = _group_static(scene)
-    hinge_ab = (list(zip(np.asarray(scene.hinge.body_a).tolist(),
-                         np.asarray(scene.hinge.body_b).tolist()))
-                if scene.hinge is not None else [])
-    ct_ab = (list(zip(np.asarray(scene.cone_twist.body_a).tolist(),
-                      np.asarray(scene.cone_twist.body_b).tolist()))
-             if scene.cone_twist is not None else [])
+    joints = scene_joint_ab(scene)
 
     @jax.custom_batching.custom_vmap
-    def fused(bodies, w_pack, hinge_prep, ct_prep, passed, inv_dt):
+    def fused(bodies, w_pack, joint_preps, passed, inv_dt):
         # ---- unbatched: _fused_core with one env lane (plain XLA)
         nbl = bodies.v.shape[0]
         ncol = w_pack.shape[1]
-        idg_np = _static_joint_invdeg(scene, nbl)
-        idg_h2 = jnp.asarray(idg_np[0])[:, None]
-        idg_c2 = jnp.asarray(idg_np[1])[:, None]
+        idg_np = static_joint_invdeg(scene, nbl)
+        idg_joint = [jnp.asarray(idg_np[JOINT_ORDER.index(name)])[:, None]
+                     for name, _ab in joints]
 
         vw0 = jnp.concatenate([bodies.v, bodies.w], axis=1)       # (NB, 6)
         invm_t = bodies.inv_mass[:, None]
@@ -623,24 +451,17 @@ def make_fused_step_solver(scene, num_iterations, omega=1.0):
         fricrest = [
             (jnp.asarray(m["fric"])[:, None], jnp.asarray(m["rest"])[:, None])
             if m["native"] else None for m in metas]
-        hinge_t = (jnp.transpose(_pack_joint(
-            jax.tree_util.tree_map(lambda x: x[None], hinge_prep),
-            HINGE_VECS, HINGE_SCALS,
-            _joint_extra_hinge(jax.tree_util.tree_map(
-                lambda x: x[None], hinge_prep))), (1, 0))
-            if hinge_ab else None)
-        ct_t = (jnp.transpose(_pack_joint(
-            jax.tree_util.tree_map(lambda x: x[None], ct_prep),
-            CT_VECS, CT_SCALS,
-            _joint_extra_ct(jax.tree_util.tree_map(
-                lambda x: x[None], ct_prep))), (1, 0))
-            if ct_ab else None)
+        joint_ts = [
+            jnp.transpose(pack_joint_type(
+                name, jax.tree_util.tree_map(lambda x: x[None], prep)),
+                (1, 0))
+            for (name, _ab), prep in zip(joints, joint_preps)]
 
         vw, imp_out, live = _fused_core(
-            metas, hinge_ab, ct_ab, nbl, 1, num_iterations, omega, inv_dt,
-            vw0, invm_t, invI_t, pos_t, idg_h2, idg_c2,
+            metas, joints, nbl, 1, num_iterations, omega, inv_dt,
+            vw0, invm_t, invI_t, pos_t, idg_joint,
             cols_tab, onehots, incidence, fricrest, passed_fields,
-            hinge_t, ct_t)
+            joint_ts)
         v_new = vw[:, 0:3]
         w_new = vw[:, 3:6]
         imps = []
@@ -653,19 +474,18 @@ def make_fused_step_solver(scene, num_iterations, omega=1.0):
         return v_new, w_new, jnp.concatenate(imps, axis=0), live_cat
 
     @fused.def_vmap
-    def _vmap(axis_size, in_batched, bodies, w_pack, hinge_prep, ct_prep,
+    def _vmap(axis_size, in_batched, bodies, w_pack, joint_preps,
               passed, inv_dt):
         def bc(x, b):
             return x if b else jnp.broadcast_to(
                 jnp.asarray(x), (axis_size, *jnp.shape(x)))
         bodies = jax.tree_util.tree_map(bc, bodies, in_batched[0])
         w_pack = jax.tree_util.tree_map(bc, w_pack, in_batched[1])
-        hinge_prep = jax.tree_util.tree_map(bc, hinge_prep, in_batched[2])
-        ct_prep = jax.tree_util.tree_map(bc, ct_prep, in_batched[3])
-        passed = jax.tree_util.tree_map(bc, passed, in_batched[4])
+        joint_preps = jax.tree_util.tree_map(bc, joint_preps, in_batched[2])
+        passed = jax.tree_util.tree_map(bc, passed, in_batched[3])
         # inv_dt stays a scalar (it is closed-over static data per step)
-        out = _fused_step_batched(scene, metas, hinge_ab, ct_ab, bodies,
-                                  w_pack, hinge_prep, ct_prep, passed,
+        out = _fused_step_batched(scene, metas, joints, bodies,
+                                  w_pack, joint_preps, passed,
                                   num_iterations, omega, inv_dt)
         return out, (True, True, True, True)
 
@@ -696,21 +516,6 @@ def _passed_fields_unbatched(metas, passed):
         for k in range(1, m["k"]):
             live = live | (fields[k][1][0] > 0.0)
         out[g] = (fields, inv_ma, inv_mb, live)
-    return out
-
-
-def _static_joint_invdeg(scene, nbody):
-    """Joint degrees are scene constants."""
-    out = np.ones((2, nbody), np.float32)
-    for row, joint in ((0, scene.hinge), (1, scene.cone_twist)):
-        if joint is None:
-            continue
-        deg = np.zeros(nbody, np.float32)
-        for n in np.asarray(joint.body_a):
-            deg[n] += 1
-        for n in np.asarray(joint.body_b):
-            deg[n] += 1
-        out[row] = 1.0 / np.maximum(deg, 1.0)
     return out
 
 
@@ -760,7 +565,7 @@ def _scratch_reader(sc, meta):
     return (fields, inv_ma, inv_mb, live)
 
 
-def _make_kernel2(metas, hinge_ab, ct_ab, nb, ncol, num_iterations, omega):
+def _make_kernel2(metas, joints, nb, ncol, num_iterations, omega):
     n_groups = len(metas)
     n_passed = sum(1 for m in metas if not m["native"])
 
@@ -772,7 +577,7 @@ def _make_kernel2(metas, hinge_ab, ct_ab, nb, ncol, num_iterations, omega):
         invI_ref = next(it)                    # (CB, 9N)
         pos_ref = next(it)                     # (CB, 3N)
         col_ref = next(it)                     # (CB, 11C)
-        idg_ref = next(it)                     # (2, NB) const
+        idg_ref = next(it)                     # (6, NB) const
         g_gat, g_sca, g_oh, g_fr, g_hbm = [], [], [], [], []
         for m in metas:
             g_gat.append(next(it))
@@ -785,8 +590,7 @@ def _make_kernel2(metas, hinge_ab, ct_ab, nb, ncol, num_iterations, omega):
                 g_oh.append(None)
                 g_fr.append(None)
                 g_hbm.append(next(it))
-        hinge_ref = next(it) if hinge_ab else None
-        ct_ref = next(it) if ct_ab else None
+        joint_refs = [next(it) for _ in joints]
         vw_out = next(it)
         imp_outs = [next(it) for _ in range(n_groups)]
         live_outs = [next(it) for _ in range(n_groups)]
@@ -817,8 +621,7 @@ def _make_kernel2(metas, hinge_ab, ct_ab, nb, ncol, num_iterations, omega):
         invI_t = _mxu_t(invI_ref[:, :])
         pos_t = _mxu_t(pos_ref[:, :])
         col_t = _mxu_t(col_ref[:, :])
-        hinge_t = _mxu_t(hinge_ref[:, :]) if hinge_ref is not None else None
-        ct_t = _mxu_t(ct_ref[:, :]) if ct_ref is not None else None
+        joint_ts = [_mxu_t(r[:, :]) for r in joint_refs]
 
         vw0 = jnp.concatenate(
             [vw_t[c * nb:(c + 1) * nb] for c in range(6)], axis=1)
@@ -826,8 +629,10 @@ def _make_kernel2(metas, hinge_ab, ct_ab, nb, ncol, num_iterations, omega):
             [col_t[i * ncol:(i + 1) * ncol] for i in range(COL_PARAMS)],
             axis=1)
 
-        idg_h2 = jnp.broadcast_to(idg_ref[0, :][:, None], (nb, CB))
-        idg_c2 = jnp.broadcast_to(idg_ref[1, :][:, None], (nb, CB))
+        idg_joint = [
+            jnp.broadcast_to(
+                idg_ref[JOINT_ORDER.index(name), :][:, None], (nb, CB))
+            for name, _ab in joints]
 
         onehots = [(g_oh[g][0][:, :], g_oh[g][1][:, :])
                    if m["native"] else None for g, m in enumerate(metas)]
@@ -839,10 +644,10 @@ def _make_kernel2(metas, hinge_ab, ct_ab, nb, ncol, num_iterations, omega):
             if m["native"] else None for g, m in enumerate(metas)]
 
         vw, imp_out, live = _fused_core(
-            metas, hinge_ab, ct_ab, nb, CB, num_iterations, omega, inv_dt,
-            vw0, invm_t, invI_t, pos_t, idg_h2, idg_c2,
+            metas, joints, nb, CB, num_iterations, omega, inv_dt,
+            vw0, invm_t, invI_t, pos_t, idg_joint,
             cols_tab, onehots, incidence, fricrest, passed_read,
-            hinge_t, ct_t)
+            joint_ts)
 
         out_rows = jnp.concatenate(
             [vw[:, c * CB:(c + 1) * CB] for c in range(6)], axis=0)
@@ -855,10 +660,14 @@ def _make_kernel2(metas, hinge_ab, ct_ab, nb, ncol, num_iterations, omega):
     return kernel
 
 
-def _fused_step_batched(scene, metas, hinge_ab, ct_ab, bodies, w_pack,
-                        hinge_prep, ct_prep, passed, num_iterations, omega,
+def _fused_step_batched(scene, metas, joints, bodies, w_pack,
+                        joint_preps, passed, num_iterations, omega,
                         inv_dt):
     """Batched path: pack batch-major tensors and launch the kernel."""
+    B0 = bodies.v.shape[0]
+    from dxk_tpu.ops.pallas.batched_solver import _pad_batch_to_cb
+    bodies, w_pack, joint_preps, passed = _pad_batch_to_cb(
+        (bodies, w_pack, joint_preps, passed), B0)
     B = bodies.v.shape[0]
     nb = bodies.v.shape[1]
     ncol = w_pack.shape[-1]
@@ -868,8 +677,6 @@ def _fused_step_batched(scene, metas, hinge_ab, ct_ab, bodies, w_pack,
         # requires equal sublane offsets across concat operands
         w_pack = jnp.pad(w_pack, ((0, 0), (0, 0), (0, pad_c)))
         ncol = ncol + pad_c
-    if B % CB:
-        raise ValueError(f"fused step: batch {B} must be a multiple of {CB}")
     n_chunks = B // CB
 
     vw = jnp.concatenate([bodies.v, bodies.w], axis=-1)
@@ -894,9 +701,10 @@ def _fused_step_batched(scene, metas, hinge_ab, ct_ab, bodies, w_pack,
                             memory_space=pltpu.VMEM)
 
     inputs += [vw, invm, invI, pos, colpack,
-               jnp.asarray(_static_joint_invdeg(scene, nb))]
+               jnp.asarray(static_joint_invdeg(scene, nb))]
     in_specs += [bspec(6 * nb), bspec(nb), bspec(9 * nb), bspec(3 * nb),
-                 bspec(COL_PARAMS * ncol), const_spec((2, nb))]
+                 bspec(COL_PARAMS * ncol),
+                 const_spec((len(JOINT_ORDER), nb))]
 
     scratch_cols = []
     pi = 0
@@ -918,14 +726,9 @@ def _fused_step_batched(scene, metas, hinge_ab, ct_ab, bodies, w_pack,
             inputs.append(t)
             in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
             scratch_cols.append(t.shape[1])
-    if hinge_ab:
-        inputs.append(_pack_joint(hinge_prep, HINGE_VECS, HINGE_SCALS,
-                                  _joint_extra_hinge(hinge_prep)))
-        in_specs.append(bspec(len(hinge_ab) * HINGE_ROWS))
-    if ct_ab:
-        inputs.append(_pack_joint(ct_prep, CT_VECS, CT_SCALS,
-                                  _joint_extra_ct(ct_prep)))
-        in_specs.append(bspec(len(ct_ab) * CT_ROWS))
+    for (name, ab), prep in zip(joints, joint_preps):
+        inputs.append(pack_joint_type(name, prep))
+        in_specs.append(bspec(len(ab) * joint_rows(name)))
 
     out_shapes = [jax.ShapeDtypeStruct((B, 6 * nb), jnp.float32)]
     out_specs = [bspec(6 * nb)]
@@ -944,7 +747,7 @@ def _fused_step_batched(scene, metas, hinge_ab, ct_ab, bodies, w_pack,
                                          jnp.float32))
         scratch_shapes.append(pltpu.SemaphoreType.DMA)
 
-    kernel = _make_kernel2(metas, hinge_ab, ct_ab, nb, ncol,
+    kernel = _make_kernel2(metas, joints, nb, ncol,
                            num_iterations, omega)
 
     interpret = jax.default_backend() != "tpu"
@@ -972,5 +775,8 @@ def _fused_step_batched(scene, metas, hinge_ab, ct_ab, bodies, w_pack,
             x = jnp.pad(x, ((0, 0), (0, 0), (0, 4 - m["k"])))
         imps.append(x)
         lives.append(outs[1 + len(metas) + g] > 0.5)
-    return (v_new, w_new, jnp.concatenate(imps, axis=1),
-            jnp.concatenate(lives, axis=1))
+    imp_cat = jnp.concatenate(imps, axis=1)
+    live_cat = jnp.concatenate(lives, axis=1)
+    if B0 != B:
+        return v_new[:B0], w_new[:B0], imp_cat[:B0], live_cat[:B0]
+    return v_new, w_new, imp_cat, live_cat

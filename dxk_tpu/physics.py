@@ -322,6 +322,15 @@ def physics_step(scene: Scene, state: State, settings: PhysicsSettings,
     else:
         mode = ("jacobi" if settings.solver_mode == "fused"
                 else settings.solver_mode)
+        if (mode == "colored" and scene.pair_groups
+                and scene.num_contact_phases <= 1):
+            import warnings
+            warnings.warn(
+                "solver_mode='colored' on a scene finalized without "
+                "contact_phases>1: contacts degrade to averaged Jacobi. "
+                "Pass contact_phases=4 (or more) to SceneBuilder.finalize "
+                "for conflict-free Gauss-Seidel contact slices.",
+                stacklevel=2)
         bodies, contact_imp_n = solve_constraints(
             bodies, prepped, settings.num_rigid_solver_iterations,
             mode, settings.sor_omega)
@@ -411,11 +420,20 @@ def _physics_step_fused(scene, state, settings, dt, controls, tracker):
             cmask.astype(pts.dtype), dt)
         passed.append(prep)
 
-    # joint prep (XLA — small)
-    hinge_prep = (prep_hinge(bodies, scene.hinge, controls, dt)
-                  if scene.hinge is not None else None)
-    ct_prep = (prep_cone_twist(bodies, scene.cone_twist, controls, dt)
-               if scene.cone_twist is not None else None)
+    # joint prep (XLA — small), one entry per joint type present in the
+    # scene, in scene_joint_ab (reference solve) order
+    from dxk_tpu.ops.pallas.batched_solver import scene_joint_ab
+    prep_fns = {
+        "distance": lambda: prep_distance(bodies, scene.distance, dt),
+        "ball": lambda: prep_ball(bodies, scene.ball, dt),
+        "fixed": lambda: prep_fixed(bodies, scene.fixed, dt),
+        "hinge": lambda: prep_hinge(bodies, scene.hinge, controls, dt),
+        "cone_twist": lambda: prep_cone_twist(bodies, scene.cone_twist,
+                                              controls, dt),
+        "slider": lambda: prep_slider(bodies, scene.slider, controls, dt),
+    }
+    joint_preps = tuple(prep_fns[name]()
+                        for name, _ab in scene_joint_ab(scene))
 
     # world collider param pack: (11, C) param-major
     w_pack = jnp.concatenate([
@@ -428,7 +446,7 @@ def _physics_step_fused(scene, state, settings, dt, controls, tracker):
     fused = make_fused_step_solver(scene, settings.num_rigid_solver_iterations,
                                    settings.sor_omega)
     inv_dt = jnp.float32(1.0) / dt
-    v_new, w_new, imp_n, live = fused(bodies, w_pack, hinge_prep, ct_prep,
+    v_new, w_new, imp_n, live = fused(bodies, w_pack, joint_preps,
                                       tuple(passed), inv_dt)
     bodies = bodies.replace(v=v_new, w=w_new)
     if tracker is not None:

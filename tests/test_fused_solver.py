@@ -91,14 +91,18 @@ class TestFusedMatchesJacobi:
         assert bool(jnp.isfinite(st2.pos).all())
 
     def test_ineligible_scene_falls_back(self):
-        """A scene with a distance joint (unsupported type) must silently
-        use the XLA path under solver_mode='fused'."""
+        """A kselect-broadphase scene (dynamic pair compaction) must
+        silently use the XLA path under solver_mode='fused'."""
+        from dxk_tpu.ops.pallas.fused_step import fused2_eligible
         b = SceneBuilder()
-        top = b.add_body(position=(0, 4, 0), kinematic=True)
-        bob = b.add_body(position=(0.5, 3.5, 0))
-        b.add_sphere_collider(bob, (0, 0, 0), 0.2)
-        b.add_distance_constraint(top, bob, (0, 4, 0), (0.5, 3.8, 0))
-        scene = b.finalize()
+        g = b.add_static()
+        b.add_box_collider(g, (0, -1, 0), (20, 1, 20))
+        for i in range(3):
+            bd = b.add_body(position=(0, 0.4995 + 0.9995 * i, 0))
+            b.add_box_collider(bd, (0, 0, 0), (0.5, 0.5, 0.5))
+        scene = b.finalize(max_narrow_pairs_per_group=4,
+                           broadphase="kselect", broadphase_k=4)
+        assert not fused2_eligible(scene)
         st = jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(x, (B, *x.shape)).copy(),
             scene.initial_state())
@@ -108,6 +112,110 @@ class TestFusedMatchesJacobi:
                                                        1 / 120.0)[0]))
         out = step(st)
         assert bool(jnp.isfinite(out.pos).all())
+
+    def test_phased_scene_matches_colored(self):
+        """A phased tower (contact_phases=4): the in-kernel phase slices
+        must reproduce the XLA phased pass ('colored' mode) exactly."""
+        from dxk_tpu.ops.pallas.fused_step import fused2_eligible
+        b = SceneBuilder()
+        g = b.add_static()
+        b.add_box_collider(g, (0, -1, 0), (20, 1, 20))
+        for i in range(5):
+            bd = b.add_body(position=(0, 0.4995 + 0.9995 * i, 0))
+            b.add_box_collider(bd, (0, 0, 0), (0.5, 0.5, 0.5))
+        s1 = b.add_body(position=(-2.0, 0.35, 0))
+        b.add_sphere_collider(s1, (0, 0, 0), 0.35)
+        scene = b.finalize(contact_phases=4)
+        assert fused2_eligible(scene)
+        st = _batched_state(scene)
+        co = _run(scene, st, "colored", 2, 10)
+        fu = _run(scene, st, "fused", 2, 10)
+        assert float(jnp.abs(co.pos - fu.pos).max()) < 1e-6
+        assert float(jnp.abs(co.lin_vel - fu.lin_vel).max()) < 1e-4
+
+    def test_odd_batch_size_pads(self):
+        """Batch sizes that are not a CB multiple route through the
+        repeat-padding path (advisor r2) and match the jacobi XLA path."""
+        scene = _scene()
+        st = _batched_state(scene)
+        st = jax.tree_util.tree_map(lambda x: x[:5], st)
+        ja = _run(scene, st, "jacobi", 1, 5)
+        fu = _run(scene, st, "fused", 1, 5)
+        assert ja.pos.shape[0] == 5
+        assert float(jnp.abs(ja.pos - fu.pos).max()) < 1e-6
+
+
+def _all_joints_scene():
+    """Every joint type (distance/ball/fixed/hinge/cone-twist/slider) in
+    one chain + ground contacts: pins the round-3 all-types in-kernel
+    solve (reference SIMD paths constraints.cpp:189-3306) against the XLA
+    jacobi path."""
+    b = SceneBuilder()
+    g = b.add_static()
+    b.add_box_collider(g, (0, -1, 0), (30, 1, 30))
+    top = b.add_body(position=(0, 7, 0), kinematic=True)
+    prev, y = top, 7.0
+    kinds = ("distance", "ball", "fixed", "hinge", "cone_twist", "slider")
+    for kind in kinds:
+        y -= 1.0
+        link = b.add_body(position=(0, y, 0))
+        b.add_capsule_collider(link, (0, -0.3, 0), (0, 0.3, 0), 0.12)
+        anchor = (0, y + 0.5, 0)
+        if kind == "distance":
+            b.add_distance_constraint(prev, link, (0, y + 0.8, 0), anchor)
+        elif kind == "ball":
+            b.add_ball_constraint(prev, link, anchor)
+        elif kind == "fixed":
+            b.add_fixed_constraint(prev, link, anchor)
+        elif kind == "hinge":
+            b.add_hinge_constraint(prev, link, anchor, (1, 0, 0),
+                                   min_limit=-1.0, max_limit=1.0)
+        elif kind == "cone_twist":
+            b.add_cone_twist_constraint(prev, link, anchor, (0, -1, 0),
+                                        swing_limit=0.8, twist_limit=0.5)
+        else:
+            b.add_slider_constraint(prev, link, anchor, (0, 1, 0),
+                                    min_limit=-0.4, max_limit=0.4)
+        prev = link
+    # a contact pair so the contact path runs too
+    s1 = b.add_body(position=(2.0, 0.35, 0))
+    b.add_sphere_collider(s1, (0, 0, 0), 0.35)
+    scene = b.finalize()
+    # drive the hinge (position motor) and slider (velocity motor) so the
+    # motor rows execute
+    c = scene.default_controls
+    c = c.replace(
+        hinge_motor_type=jnp.ones_like(c.hinge_motor_type),
+        hinge_target=jnp.full_like(c.hinge_target, 0.5),
+        hinge_max_torque=jnp.full_like(c.hinge_max_torque, 50.0),
+        slider_motor_type=jnp.zeros_like(c.slider_motor_type),
+        slider_target=jnp.full_like(c.slider_target, 0.2),
+        slider_max_force=jnp.full_like(c.slider_max_force, 80.0),
+    )
+    return scene.replace(default_controls=c)
+
+
+class TestFusedAllJointTypes:
+    def test_eligible(self):
+        from dxk_tpu.ops.pallas.fused_step import fused2_eligible
+        assert fused2_eligible(_all_joints_scene())
+
+    def test_one_step_exact(self):
+        scene = _all_joints_scene()
+        st = _batched_state(scene)
+        ja = _run(scene, st, "jacobi", 1, 10)
+        fu = _run(scene, st, "fused", 1, 10)
+        assert float(jnp.abs(ja.pos - fu.pos).max()) < 1e-7
+        assert float(jnp.abs(ja.lin_vel - fu.lin_vel).max()) < 1e-6
+        assert float(jnp.abs(ja.ang_vel - fu.ang_vel).max()) < 1e-6
+
+    def test_short_horizon_close(self):
+        scene = _all_joints_scene()
+        st = _batched_state(scene)
+        ja = _run(scene, st, "jacobi", 3, 10)
+        fu = _run(scene, st, "fused", 3, 10)
+        assert float(jnp.abs(ja.pos - fu.pos).max()) < 1e-6
+        assert float(jnp.abs(ja.lin_vel - fu.lin_vel).max()) < 1e-4
 
 
 def test_loco_env_fused_smoke():

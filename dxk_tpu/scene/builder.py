@@ -518,9 +518,38 @@ class SceneBuilder:
 
     # -- finalize ----------------------------------------------------------
 
+    def _collider_bounding_spheres(self, col, init_pos, init_rot, nb):
+        """Initial-pose world bounding sphere per collider (conservative):
+        used by finalize(candidate_margin=...) build-time pair pruning."""
+        C = len(self._colliders)
+        centers = np.zeros((C, 3))
+        brads = np.zeros(C)
+        for i in range(C):
+            ct = col["ctype"][i]
+            a, bb, r = col["a"][i], col["b"][i], col["r"][i]
+            if ct in (SHAPE_CAPSULE, SHAPE_CYLINDER):
+                lc = (a + bb) * 0.5
+                br = 0.5 * np.linalg.norm(bb - a) + r
+            elif ct == SHAPE_BOX:
+                lc, br = a, np.linalg.norm(bb)
+            elif ct == SHAPE_HULL:
+                verts = self._hull_geoms[col["hull_id"][i]]
+                lc, br = a, float(np.linalg.norm(verts, axis=-1).max())
+            else:   # sphere
+                lc, br = a, r
+            body = col["body"][i]
+            if body >= nb:   # static owner: params already world-baked
+                centers[i] = lc
+            else:
+                centers[i] = (_np_quat_rotate(init_rot[body], lc)
+                              + init_pos[body])
+            brads[i] = br
+        return centers, brads
+
     def finalize(self, max_narrow_pairs_per_group: Optional[int] = None,
                  dtype=np.float32, contact_phases: int = 1,
-                 broadphase: str = "table", broadphase_k: int = 8) -> Scene:
+                 broadphase: str = "table", broadphase_k: int = 8,
+                 candidate_margin: Optional[float] = None) -> Scene:
         """contact_phases=K > 1 splits every candidate bucket into K phase
         sub-buckets by a body-index hash chosen so pairs within a phase
         rarely share a dynamic body (chains/stacks become conflict-free).
@@ -534,7 +563,16 @@ class SceneBuilder:
         K-select over all collider pairs, ops/pallas/kselect_broadphase.py)
         instead of masking the static candidate tables — use for scenes with
         hundreds+ of colliders; broadphase_k caps overlapping partners per
-        collider (overflow counted in StepInfo)."""
+        collider (overflow counted in StepInfo).
+
+        candidate_margin=M prunes the static candidate tables AT BUILD
+        TIME: a pair is kept only if the colliders' initial bounding
+        spheres come within M of each other. This is MJX-style static
+        pairing — the scene PROMISES that pruned pairs never come into
+        contact over the run (valid when bodies stay near their initial
+        relative configuration, e.g. stacks, articulated figures). Pruned
+        tables keep scenes with many colliders fused-pipeline-eligible and
+        enable island decomposition (dxk_tpu.scene.islands)."""
         nb = len(self._bodies)
         n1 = nb + 1  # + dummy
 
@@ -607,6 +645,19 @@ class SceneBuilder:
         coll_buckets, overlap_np = bake_pair_tables(
             col["ctype"], col["owner_type"], col["body"])
         overlap_pairs = [tuple(p) for p in overlap_np]
+
+        if candidate_margin is not None:
+            centers, brads = self._collider_bounding_spheres(col, init_pos,
+                                                             init_rot, nb)
+            for key, pairs in list(coll_buckets.items()):
+                p = np.asarray(pairs, np.int32).reshape(-1, 2)
+                if len(p) == 0:
+                    continue
+                d = np.linalg.norm(centers[p[:, 0]] - centers[p[:, 1]],
+                                   axis=-1)
+                keep = d <= (brads[p[:, 0]] + brads[p[:, 1]]
+                             + candidate_margin)
+                coll_buckets[key] = [tuple(q) for q in p[keep]]
 
         cap = max_narrow_pairs_per_group or self.max_narrow_pairs_per_group
         groups = []

@@ -1,5 +1,7 @@
 #!/usr/bin/env python
-"""Benchmark harness. Prints ONE JSON line:
+"""Benchmark harness. Prints a JSON result line after EVERY config (the
+driver parses the LAST line of output), so a timeout mid-run still leaves
+the most recent complete measurement on stdout:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
 Headline metric (BASELINE.json): env-steps/sec for parallel ragdoll
@@ -7,12 +9,18 @@ locomotion envs (target 500k/s on v5e-8 => ~62.5k/s per chip). Also measures
 body-steps/sec on a 1k-box stack drop (target 10M/s per chip) and reports it
 as an extra field.
 
+Robustness (VERDICT r2 weak #1 — the r2 driver run timed out with zero
+output): a SIGALRM deadline (BENCH_DEADLINE_S, default 540s) dumps whatever
+has been measured and exits 0; every config is individually try/except'd;
+configs are skipped when the remaining budget can't cover their compile.
+
 Run on the real TPU (default env) or CPU (JAX_PLATFORMS=cpu, reduced sizes).
 """
 
 import argparse
 import json
 import os
+import signal
 import sys
 import time
 
@@ -82,9 +90,7 @@ def bench_loco(num_envs, steps, iters_timed, solver_mode, solver_iterations,
     return total_env_steps / best_dt, compile_s
 
 
-def bench_box_stack(num_boxes, batch, steps, iters_timed, solver_iterations,
-                    solver_mode="colored"):
-    from dxk_tpu.physics import PhysicsSettings, physics_step
+def _box_towers(num_boxes):
     from dxk_tpu.scene import SceneBuilder
 
     b = SceneBuilder()
@@ -101,25 +107,50 @@ def bench_box_stack(num_boxes, batch, steps, iters_timed, solver_iterations,
             body = b.add_body(position=(x, 0.5 + 1.001 * i, z))
             b.add_box_collider(body, (0, 0, 0), (0.5, 0.5, 0.5))
             n += 1
-    # 4 contact phases -> conflict-free Gauss-Seidel slices in the solver;
-    # per-phase cap: ~num_boxes/2 live pairs land in each of 4 phases.
-    # kselect broadphase: the masked O(C^2) table costs ~20 ms/step at
-    # C~1k batch 8; the fused Pallas sweep is ~4x cheaper (PERF_NOTES).
-    scene = b.finalize(max_narrow_pairs_per_group=num_boxes // 2,
-                       contact_phases=4, broadphase="kselect",
-                       broadphase_k=8)
-    settings = PhysicsSettings(num_rigid_solver_iterations=solver_iterations,
-                               solver_mode=solver_mode)
+    return b, n
 
-    base = scene.initial_state()
-    state = jax.tree_util.tree_map(
-        lambda x: jnp.broadcast_to(x, (batch, *x.shape)).copy(), base)
+
+def bench_box_stack(num_boxes, batch, steps, iters_timed, solver_iterations,
+                    solver_mode="fused_islands"):
+    """solver_mode='fused_islands' (default): build-time candidate-margin
+    pruning -> island decomposition (64 towers -> 64 lane-batch elements,
+    dxk_tpu/scene/islands.py) -> the whole contact pipeline (box-box SAT+
+    clip narrowphase + prep + phased 30-iter solve) in ONE Pallas kernel.
+    Other modes ride the kselect broadphase + XLA solver paths."""
+    from dxk_tpu.physics import PhysicsSettings, physics_step
+
+    b, n = _box_towers(num_boxes)
+    if solver_mode == "fused_islands":
+        from dxk_tpu.scene.islands import islandize
+        scene = b.finalize(contact_phases=4, candidate_margin=1.0)
+        im = islandize(scene)
+        settings = PhysicsSettings(
+            num_rigid_solver_iterations=solver_iterations,
+            solver_mode="fused")
+        isl = im.gather(scene.initial_state())        # (I, nbl+1, ...)
+        state = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (batch, *x.shape)).reshape(
+                batch * x.shape[0], *x.shape[1:]).copy(), isl)
+        step_scene = im.sub_scene
+    else:
+        # kselect broadphase: the masked O(C^2) table costs ~20 ms/step at
+        # C~1k batch 8; the fused Pallas sweep is ~4x cheaper (PERF_NOTES).
+        scene = b.finalize(max_narrow_pairs_per_group=num_boxes // 2,
+                           contact_phases=4, broadphase="kselect",
+                           broadphase_k=8)
+        settings = PhysicsSettings(
+            num_rigid_solver_iterations=solver_iterations,
+            solver_mode=solver_mode)
+        base = scene.initial_state()
+        state = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (batch, *x.shape)).copy(), base)
+        step_scene = scene
 
     def n_steps(s):
         def body(carry, _):
             s = carry
             s, _ = jax.vmap(
-                lambda st: physics_step(scene, st, settings, 1 / 120))(s)
+                lambda st: physics_step(step_scene, st, settings, 1 / 120))(s)
             return s, None
 
         s, _ = jax.lax.scan(body, s, None, length=steps)
@@ -228,8 +259,10 @@ def bench_constraint_zoo(batch, steps, iters_timed, solver_iterations):
         slider_max_force=jnp.full_like(c.slider_max_force, 80.0),
     )
     scene = scene.replace(default_controls=c)
+    # all 7 joint types solve in-kernel since round 3 -> fused-eligible
+    # (falls back to jacobi automatically if eligibility ever regresses)
     settings = PhysicsSettings(num_rigid_solver_iterations=solver_iterations,
-                               solver_mode="colored")
+                               solver_mode="fused")
     state = _broadcast_state(scene, batch)
     return _time_batched_steps(scene, settings, state, steps, iters_timed, n)
 
@@ -283,6 +316,41 @@ def bench_cloth_vehicle_heightfield(batch, steps, iters_timed,
     return _time_batched_steps(scene, settings, state, steps, iters_timed, 16)
 
 
+class _Reporter:
+    """Accumulates extras and re-prints the full JSON result line after
+    every config. stdout carries ONLY JSON lines; progress goes to stderr."""
+
+    def __init__(self):
+        self.extras = {}
+        self.loco_rate = None
+        self.t0 = time.time()
+        self.deadline = float(os.environ.get("BENCH_DEADLINE_S", "540"))
+
+    def remaining(self):
+        return self.deadline - (time.time() - self.t0)
+
+    def note(self, msg):
+        print(f"[bench +{time.time() - self.t0:.0f}s] {msg}",
+              file=sys.stderr, flush=True)
+
+    def emit(self):
+        if self.loco_rate is not None:
+            value, metric, unit = (self.loco_rate,
+                                   "ragdoll-env-steps/sec/chip",
+                                   "env-steps/s")
+            vs = self.loco_rate / 62500.0    # 500k on v5e-8 => 62.5k/chip
+        elif "box_body_steps_per_s" in self.extras:
+            value = self.extras["box_body_steps_per_s"]
+            vs = value / 10e6
+            metric, unit = "box-stack-body-steps/sec/chip", "body-steps/s"
+        else:
+            value, vs = 0, 0.0
+            metric, unit = "no-config-completed", "n/a"
+        print(json.dumps({"metric": metric, "value": round(float(value)),
+                          "unit": unit, "vs_baseline": round(vs, 3),
+                          **self.extras}), flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--envs", type=int, default=None)
@@ -291,7 +359,7 @@ def main():
     ap.add_argument("--boxes", type=int, default=None)
     ap.add_argument("--box-batch", type=int, default=None)
     ap.add_argument("--solver-mode", default="fused")
-    ap.add_argument("--box-solver-mode", default="colored")
+    ap.add_argument("--box-solver-mode", default="fused_islands")
     ap.add_argument("--solver-iterations", type=int, default=30)
     ap.add_argument("--skip-box", action="store_true")
     ap.add_argument("--skip-loco", action="store_true")
@@ -300,64 +368,91 @@ def main():
                          "(zoo/ragdoll/cloth+vehicle)")
     args = ap.parse_args()
 
+    rep = _Reporter()
+
+    def on_alarm(_sig, _frm):
+        rep.extras["deadline_hit"] = True
+        rep.note("deadline hit — dumping partial results")
+        rep.emit()
+        os._exit(0)
+
+    signal.signal(signal.SIGALRM, on_alarm)
+    signal.alarm(int(rep.deadline))
+
+    rep.note("claiming device...")
     on_tpu = jax.devices()[0].platform != "cpu"
-    # N=1024 sits below the current HBM scaling cliff (docs/PERF_NOTES.md);
     num_envs = args.envs or (4096 if on_tpu else 32)
     num_boxes = args.boxes or (1024 if on_tpu else 64)
     box_batch = args.box_batch or (8 if on_tpu else 1)
 
-    extras = {"platform": jax.devices()[0].platform,
-              "device": str(jax.devices()[0])}
+    rep.extras.update(platform=jax.devices()[0].platform,
+                      device=str(jax.devices()[0]))
+    rep.note(f"device up: {rep.extras['device']}")
 
-    loco_rate = None
-    if not args.skip_loco:
-        loco_rate, c = bench_loco(num_envs, args.steps, args.iters,
-                                  args.solver_mode, args.solver_iterations)
-        extras["loco_num_envs"] = num_envs
-        extras["loco_compile_s"] = round(c, 1)
+    def run_config(name, min_budget_s, fn):
+        if rep.remaining() < min_budget_s:
+            rep.extras[name + "_skipped"] = "deadline"
+            rep.note(f"skipping {name}: {rep.remaining():.0f}s left "
+                     f"< {min_budget_s}s budget")
+            return
+        rep.note(f"running {name}...")
+        try:
+            fn()
+        except Exception as e:  # noqa: BLE001 — record and keep benching
+            rep.extras[name + "_error"] = f"{type(e).__name__}: {e}"[:200]
+            rep.note(f"{name} FAILED: {e}")
+        rep.emit()
 
-    if not args.skip_box:
-        box_rate, c = bench_box_stack(num_boxes, box_batch, args.steps,
-                                      args.iters, args.solver_iterations,
-                                      args.box_solver_mode)
-        extras["box_solver_mode"] = args.box_solver_mode
-        extras["box_body_steps_per_s"] = round(box_rate)
-        extras["box_num_boxes"] = num_boxes
-        extras["box_batch"] = box_batch
-        extras["box_compile_s"] = round(c, 1)
-        extras["box_vs_baseline"] = round(box_rate / 10e6, 3)
+    def do_loco():
+        rate, c = bench_loco(num_envs, args.steps, args.iters,
+                             args.solver_mode, args.solver_iterations)
+        rep.loco_rate = rate
+        rep.extras.update(loco_num_envs=num_envs, loco_compile_s=round(c, 1))
 
-    if not args.skip_aux:
-        # BASELINE configs 2-4 (constraint zoo / ragdoll settle /
-        # cloth+vehicle on heightfield): body-steps/s extras
-        aux_batch = 64 if on_tpu else 2
+    def do_box():
+        rate, c = bench_box_stack(num_boxes, box_batch, args.steps,
+                                  args.iters, args.solver_iterations,
+                                  args.box_solver_mode)
+        rep.extras.update(box_solver_mode=args.box_solver_mode,
+                          box_body_steps_per_s=round(rate),
+                          box_num_boxes=num_boxes, box_batch=box_batch,
+                          box_compile_s=round(c, 1),
+                          box_vs_baseline=round(rate / 10e6, 3))
+
+    aux_batch = 64 if on_tpu else 2
+
+    def do_zoo():
         r, c = bench_constraint_zoo(aux_batch, args.steps, args.iters,
                                     args.solver_iterations)
-        extras["zoo_body_steps_per_s"] = round(r)
-        extras["zoo_compile_s"] = round(c, 1)
+        rep.extras.update(zoo_body_steps_per_s=round(r),
+                          zoo_compile_s=round(c, 1))
+
+    def do_settle():
         r, c = bench_ragdoll_settle(4 * aux_batch, args.steps, args.iters,
                                     args.solver_iterations)
-        extras["ragdoll_settle_body_steps_per_s"] = round(r)
-        extras["ragdoll_settle_compile_s"] = round(c, 1)
+        rep.extras.update(ragdoll_settle_body_steps_per_s=round(r),
+                          ragdoll_settle_compile_s=round(c, 1))
+
+    def do_cloth_vehicle():
         r, c = bench_cloth_vehicle_heightfield(
             aux_batch, args.steps, args.iters, args.solver_iterations)
-        extras["cloth_vehicle_hf_body_steps_per_s"] = round(r)
-        extras["cloth_vehicle_hf_compile_s"] = round(c, 1)
+        rep.extras.update(cloth_vehicle_hf_body_steps_per_s=round(r),
+                          cloth_vehicle_hf_compile_s=round(c, 1))
 
-    if loco_rate is not None:
-        value = loco_rate
-        # target: 500k env-steps/s on v5e-8 => 62.5k per chip
-        vs = loco_rate / 62500.0
-        metric = "ragdoll-env-steps/sec/chip"
-        unit = "env-steps/s"
-    else:
-        value = extras["box_body_steps_per_s"]
-        vs = value / 10e6
-        metric = "box-stack-body-steps/sec/chip"
-        unit = "body-steps/s"
+    # headline first; then box (the other driver-tracked number); then aux.
+    # min budgets ~= observed compile+run cost with margin (r1: loco 56s
+    # compile, box 39s).
+    if not args.skip_loco:
+        run_config("loco", 150, do_loco)
+    if not args.skip_box:
+        run_config("box", 120, do_box)
+    if not args.skip_aux:
+        run_config("ragdoll_settle", 60, do_settle)
+        run_config("zoo", 60, do_zoo)
+        run_config("cloth_vehicle_hf", 60, do_cloth_vehicle)
 
-    print(json.dumps({"metric": metric, "value": round(float(value)),
-                      "unit": unit, "vs_baseline": round(vs, 3), **extras}))
+    signal.alarm(0)
+    rep.emit()
 
 
 if __name__ == "__main__":

@@ -126,8 +126,16 @@ def rollout(scene, steps=GOLDEN_STEPS, mode="scan", every=GOLDEN_EVERY):
     return np.stack(traj)
 
 
-@pytest.mark.parametrize("name_builder", list(scenes()),
-                         ids=[n for n, _ in scenes()])
+# the three multi-minute scenes run in the slow tier only; the default
+# suite keeps the fast goldens (sphere/box/pendulum) as the fidelity pin
+_SLOW_GOLDENS = {"ragdoll_settle", "constraint_zoo", "mixed_shape_drop"}
+
+
+@pytest.mark.parametrize(
+    "name_builder",
+    [pytest.param(nb, marks=pytest.mark.slow) if nb[0] in _SLOW_GOLDENS
+     else nb for nb in scenes()],
+    ids=[n for n, _ in scenes()])
 def test_golden(name_builder):
     name, b = name_builder
     path = os.path.join(GOLDEN_DIR, f"{name}.npy")

@@ -35,6 +35,7 @@ class TestRagdoll:
         # torso is the heaviest part
         assert masses[0] == masses.max()
 
+    @pytest.mark.slow
     def test_drop_and_settle(self):
         b, rag = build_training_scene()
         scene = b.finalize(max_narrow_pairs_per_group=64)

@@ -12,6 +12,7 @@ from dxk_tpu.scene import SceneBuilder
 
 
 class TestVehicle:
+    @pytest.mark.slow
     def test_drop_and_drive(self):
         b = SceneBuilder()
         ground = b.add_static(position=(0, -4.0, 0))

@@ -393,16 +393,6 @@ def _neg(a):
     return (-a[0], -a[1], -a[2])
 
 
-def _poly_barrier(verts, depths, nn):
-    """optimization_barrier over the polygon state (see box_box_cm)."""
-    flat = [c for v in verts for c in v] + list(depths) + [nn]
-    flat = jax.lax.optimization_barrier(tuple(flat))
-    S = len(verts)
-    verts = [tuple(flat[3 * s:3 * s + 3]) for s in range(S)]
-    depths = list(flat[3 * S:4 * S])
-    return verts, depths, flat[4 * S]
-
-
 def get_tangent_cm(n):
     """maths.get_tangent: branch on |n.x| >= 0.57735, then normalize."""
     use_x = jnp.abs(n[0]) >= 0.57735
@@ -701,17 +691,16 @@ def box_box_cm(ac, ah, aq, bc, bh, bq):
     verts = corners + [zv] * (S - 4)
     depths = [-(_dot(v, ref_n) + rp_d) for v in corners] + [zero] * (S - 4)
     nn = jnp.full_like(zero, 4).astype(jnp.int32)
+    # NOTE: every output slot of a clip pass selects among all 8 input
+    # slots, so XLA:CPU's producer-duplicating loop fusion re-expands the
+    # whole upstream pipeline into each consumer (11k-op HLO -> 245k
+    # post-opt, ~9 min LLVM for ONE pair). CPU runs must disable that
+    # pass (--xla_disable_hlo_passes=fusion; conftest/dryrun set it). An
+    # optimization_barrier here is NOT an option: Mosaic cannot lower the
+    # primitive inside Pallas TPU kernels — and handles the chains fine.
     for pn_, pd_ in planes:
         verts, depths, nn = _clip_one_plane_cm(verts, depths, nn, pn_, pd_)
-        # Fusion fence: every output slot of a clip pass selects among all
-        # 8 input slots, so XLA's producer-duplicating fusion re-expands
-        # the whole upstream pipeline into each consumer — 4 chained
-        # passes exploded an 11k-op HLO to 245k post-opt (XLA:CPU, and a
-        # compile-time hazard for Mosaic too). Materializing the polygon
-        # between passes bounds duplication to one pass.
-        verts, depths, nn = _poly_barrier(verts, depths, nn)
     verts, depths, nn = _project_filter_cm(verts, depths, nn, ref_n, rp_d)
-    verts, depths, nn = _poly_barrier(verts, depths, nn)
     f_pts, f_dps, f_cnt = _reduce_manifold_cm(verts, depths, nn, normal)
     face_hit = nn > 0
 

@@ -669,7 +669,7 @@ def _fused_step_batched(scene, metas, joints, bodies, w_pack,
     bodies, w_pack, joint_preps, passed = _pad_batch_to_cb(
         (bodies, w_pack, joint_preps, passed), B0)
     B = bodies.v.shape[0]
-    nb = bodies.v.shape[1]
+    nb0 = bodies.v.shape[1]
     ncol = w_pack.shape[-1]
     pad_c = (-ncol) % 8
     if pad_c:
@@ -677,6 +677,21 @@ def _fused_step_batched(scene, metas, joints, bodies, w_pack,
         # requires equal sublane offsets across concat operands
         w_pack = jnp.pad(w_pack, ((0, 0), (0, 0), (0, pad_c)))
         ncol = ncol + pad_c
+    # same constraint on the BODY axis: vw0 assembly lane-concats row-
+    # slices strided by nb (zoo at 113 bodies died in tpu.concatenate with
+    # mismatched sublane offsets). Pad bodies to x8 with inert rows
+    # (inv_mass/inv_inertia = 0); joint/pair indices are unaffected.
+    pad_b = (-nb0) % 8
+    if pad_b:
+        def _padb(x):
+            return jnp.pad(x, ((0, 0), (0, pad_b)) +
+                           ((0, 0),) * (x.ndim - 2))
+        bodies = bodies.replace(
+            v=_padb(bodies.v), w=_padb(bodies.w),
+            inv_mass=_padb(bodies.inv_mass),
+            inv_inertia=_padb(bodies.inv_inertia),
+            pos_cog=_padb(bodies.pos_cog))
+    nb = nb0 + pad_b
     n_chunks = B // CB
 
     vw = jnp.concatenate([bodies.v, bodies.w], axis=-1)
@@ -764,7 +779,7 @@ def _fused_step_batched(scene, metas, joints, bodies, w_pack,
     )(*inputs)
 
     vw_out = outs[0].reshape(B, 6, nb)
-    vw_out = jnp.transpose(vw_out, (0, 2, 1))
+    vw_out = jnp.transpose(vw_out, (0, 2, 1))[:, :nb0]
     v_new, w_new = vw_out[..., :3], vw_out[..., 3:]
 
     imps, lives = [], []

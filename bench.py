@@ -370,11 +370,20 @@ def main():
 
     rep = _Reporter()
 
+    def on_hard_alarm(_sig, _frm):
+        os._exit(0)
+
     def on_alarm(_sig, _frm):
         rep.extras["deadline_hit"] = True
         rep.note("deadline hit — dumping partial results")
         rep.emit()
-        os._exit(0)
+        # Prefer a clean SystemExit so the PJRT client tears down its chip
+        # claim — os._exit here left a dangling pool-side lease that
+        # blocked the NEXT claim for many minutes. A second alarm
+        # hard-exits if the interpreter is too wedged to unwind.
+        signal.signal(signal.SIGALRM, on_hard_alarm)
+        signal.alarm(30)
+        sys.exit(0)
 
     signal.signal(signal.SIGALRM, on_alarm)
     signal.alarm(int(rep.deadline))

@@ -696,11 +696,22 @@ def pack_joint_type(name, prep):
     return _pack_joint(prep, vecs, scals, extra_fn(prep))
 
 
+def _write_body_row(vw, n, va, wa):
+    """Write body n's 6 components back into vw (NB, 6L) — static row
+    index, so this lowers to a (sublane-masked) vreg update."""
+    row = jnp.concatenate(list(va) + list(wa), axis=-1)      # (6L,)
+    return vw.at[n].set(row)
+
+
 def _solve_joint_type(name, ab, t, vw, invm_t, invI_t, nb, L, inv_deg6,
-                      omega, accs):
-    """One averaged-Jacobi pass over all joints of one type. vw: (NB, 6L);
-    t: (J*ROWS, L) packed fields; accs: tuple of per-joint accumulator
-    lists. Returns (vw, new_accs)."""
+                      omega, accs, sequential=False):
+    """One pass over all joints of one type. vw: (NB, 6L); t: (J*ROWS, L)
+    packed fields; accs: tuple of per-joint accumulator lists. Returns
+    (vw, new_accs). sequential=False: averaged Jacobi across the type
+    (deltas scaled by inv_deg6*omega). sequential=True: reference-exact
+    Gauss-Seidel — each joint's new velocities are written back before the
+    next joint solves (the scalar path of constraints.cpp, solver.py
+    _gs_pass semantics)."""
     _v, _s, _rows, _e, reader, solve, n_acc = JOINT_SPECS[name]
     delta = {}
     new_accs = tuple([] for _ in range(n_acc))
@@ -715,11 +726,16 @@ def _solve_joint_type(name, ab, t, vw, invm_t, invI_t, nb, L, inv_deg6,
         out = solve(f, invm_t[a, :], invm_t[b, :], inv_ia, inv_ib,
                     va, wa, vb, wb, *[acc[j] for acc in accs])
         nva, nwa, nvb, nwb = out[:4]
-        _acc(delta, a, _sub(nva, va), _sub(nwa, wa))
-        _acc(delta, b, _sub(nvb, vb), _sub(nwb, wb))
+        if sequential:
+            vw = _write_body_row(vw, a, nva, nwa)
+            vw = _write_body_row(vw, b, nvb, nwb)
+        else:
+            _acc(delta, a, _sub(nva, va), _sub(nwa, wa))
+            _acc(delta, b, _sub(nvb, vb), _sub(nwb, wb))
         for lst, val in zip(new_accs, out[4:]):
             lst.append(val)
-    vw = _apply_delta(vw, delta, inv_deg6, omega)
+    if not sequential:
+        vw = _apply_delta(vw, delta, inv_deg6, omega)
     return vw, new_accs
 
 

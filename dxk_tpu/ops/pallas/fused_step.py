@@ -234,8 +234,13 @@ def _fused_core(metas, joints, nbody, L, num_iterations, omega,
                 inv_dt,
                 vw0, invm_t, invI_t, pos_t, idg_joint,
                 cols_tab, group_onehots, group_incidence, group_fricrest,
-                passed_preps, joint_ts):
+                passed_preps, joint_ts, sequential=False):
     """The whole contact pipeline on comp-major arrays with L env lanes.
+
+    sequential=True runs the solve in reference-exact sequential-impulse
+    order (solver.py mode='scan' semantics: per-joint and per-pair
+    Gauss-Seidel with immediate write-back, groups in scene order) instead
+    of phased averaged updates — the TPU-speed fidelity mode.
 
     vw0 (NB, 6L); invm_t (NB, L); invI_t (9NB, L); pos_t (3NB, L);
     joints: [(name, [(a, b), ...])] in reference solve order;
@@ -320,6 +325,8 @@ def _fused_core(metas, joints, nbody, L, num_iterations, omega,
     inv_deg_joint = [jnp.concatenate([idg] * 6, axis=1)
                      for idg in idg_joint]
 
+    from dxk_tpu.ops.pallas.batched_solver import _write_body_row
+
     def one_iteration(_i, carry):
         vw, con_imps, joint_imps = carry
 
@@ -328,9 +335,45 @@ def _fused_core(metas, joints, nbody, L, num_iterations, omega,
         for ji, (name, ab) in enumerate(joints):
             vw, accs = _solve_joint_type(
                 name, ab, joint_ts[ji], vw, invm_t, invI_t, nbody, L,
-                inv_deg_joint[ji], omega, joint_imps[ji])
+                inv_deg_joint[ji], omega, joint_imps[ji],
+                sequential=sequential)
             new_joint_imps.append(accs)
         joint_imps = tuple(new_joint_imps)
+
+        if sequential:
+            # ---- reference-exact contacts: groups in ascending phase
+            # order (matching physics_step's prep concatenation), pairs in
+            # table order, <=4 points in order, immediate write-back
+            # (solver.py _contact_gs_pass / constraints.cpp:3381-3448)
+            new_con_imps = [None] * len(metas)
+            g_order = sorted(range(len(metas)),
+                             key=lambda gi: metas[gi]["phase"])
+            for g in g_order:
+                meta = metas[g]
+                pg = meta["pg"]
+                fields, inv_ma, inv_mb = group_fields[g]
+                imp_n = [x for x in con_imps[g][0]]
+                imp_t = [x for x in con_imps[g][1]]
+                for p in range(pg):
+                    a = meta["body_a"][p]
+                    b = meta["body_b"][p]
+                    ra = [vw[a, c * L:(c + 1) * L] for c in range(6)]
+                    rb = [vw[b, c * L:(c + 1) * L] for c in range(6)]
+                    va, wa = tuple(ra[0:3]), tuple(ra[3:6])
+                    vb, wb = tuple(rb[0:3]), tuple(rb[3:6])
+                    for k in range(meta["k"]):
+                        cv, cs = fields[k]
+                        cv_p = tuple(tuple(c[p] for c in v) for v in cv)
+                        cs_p = tuple(c[p] for c in cs)
+                        va, wa, vb, wb, ik_n, ik_t = _contact_point(
+                            cv_p, cs_p, inv_ma[p], inv_mb[p],
+                            va, wa, vb, wb, imp_n[k][p], imp_t[k][p])
+                        imp_n[k] = imp_n[k].at[p].set(ik_n)
+                        imp_t[k] = imp_t[k].at[p].set(ik_t)
+                    vw = _write_body_row(vw, a, va, wa)
+                    vw = _write_body_row(vw, b, vb, wb)
+                new_con_imps[g] = (imp_n, imp_t)
+            return vw, tuple(new_con_imps), joint_imps
 
         new_con_imps = [None] * len(metas)
         for pi, glist in enumerate(phase_groups):
@@ -406,7 +449,8 @@ def _incidence(m, nb):
     return gat, gat.T.copy()
 
 
-def make_fused_step_solver(scene, num_iterations, omega=1.0):
+def make_fused_step_solver(scene, num_iterations, omega=1.0,
+                           sequential=False):
     """Returns fn(bodies, w_pack, joint_preps, passed, inv_dt) ->
     (v, w, imp_n (Ptot, 4), live (Ptot,)) per env, as a custom_vmap: the
     vmapped call launches the fused kernel on the whole batch; the
@@ -461,7 +505,7 @@ def make_fused_step_solver(scene, num_iterations, omega=1.0):
             metas, joints, nbl, 1, num_iterations, omega, inv_dt,
             vw0, invm_t, invI_t, pos_t, idg_joint,
             cols_tab, onehots, incidence, fricrest, passed_fields,
-            joint_ts)
+            joint_ts, sequential=sequential)
         v_new = vw[:, 0:3]
         w_new = vw[:, 3:6]
         imps = []
@@ -486,7 +530,8 @@ def make_fused_step_solver(scene, num_iterations, omega=1.0):
         # inv_dt stays a scalar (it is closed-over static data per step)
         out = _fused_step_batched(scene, metas, joints, bodies,
                                   w_pack, joint_preps, passed,
-                                  num_iterations, omega, inv_dt)
+                                  num_iterations, omega, inv_dt,
+                                  sequential=sequential)
         return out, (True, True, True, True)
 
     return fused
@@ -565,7 +610,8 @@ def _scratch_reader(sc, meta):
     return (fields, inv_ma, inv_mb, live)
 
 
-def _make_kernel2(metas, joints, nb, ncol, num_iterations, omega):
+def _make_kernel2(metas, joints, nb, ncol, num_iterations, omega,
+                  sequential=False):
     n_groups = len(metas)
     n_passed = sum(1 for m in metas if not m["native"])
 
@@ -647,7 +693,7 @@ def _make_kernel2(metas, joints, nb, ncol, num_iterations, omega):
             metas, joints, nb, CB, num_iterations, omega, inv_dt,
             vw0, invm_t, invI_t, pos_t, idg_joint,
             cols_tab, onehots, incidence, fricrest, passed_read,
-            joint_ts)
+            joint_ts, sequential=sequential)
 
         out_rows = jnp.concatenate(
             [vw[:, c * CB:(c + 1) * CB] for c in range(6)], axis=0)
@@ -662,7 +708,7 @@ def _make_kernel2(metas, joints, nb, ncol, num_iterations, omega):
 
 def _fused_step_batched(scene, metas, joints, bodies, w_pack,
                         joint_preps, passed, num_iterations, omega,
-                        inv_dt):
+                        inv_dt, sequential=False):
     """Batched path: pack batch-major tensors and launch the kernel."""
     B0 = bodies.v.shape[0]
     from dxk_tpu.ops.pallas.batched_solver import _pad_batch_to_cb
@@ -763,7 +809,7 @@ def _fused_step_batched(scene, metas, joints, bodies, w_pack,
         scratch_shapes.append(pltpu.SemaphoreType.DMA)
 
     kernel = _make_kernel2(metas, joints, nb, ncol,
-                           num_iterations, omega)
+                           num_iterations, omega, sequential=sequential)
 
     interpret = jax.default_backend() != "tpu"
     outs = pl.pallas_call(

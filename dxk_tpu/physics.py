@@ -128,11 +128,12 @@ def physics_step(scene: Scene, state: State, settings: PhysicsSettings,
         from dxk_tpu.utils.validate import StageTracker
         tracker = StageTracker()
 
-    if settings.solver_mode == "fused":
+    if settings.solver_mode in ("fused", "fused_seq"):
         from dxk_tpu.ops.pallas.fused_step import fused2_eligible
         if fused2_eligible(scene):
-            return _physics_step_fused(scene, state, settings, dt, controls,
-                                       tracker)
+            return _physics_step_fused(
+                scene, state, settings, dt, controls, tracker,
+                sequential=settings.solver_mode == "fused_seq")
 
     # 1-2: colliders -> AABBs -> candidate overlaps
     w = world_colliders(scene, state.pos, state.rot)
@@ -320,8 +321,8 @@ def physics_step(scene: Scene, state: State, settings: PhysicsSettings,
         v, w, contact_imp_n = fused(bodies, prepped)
         bodies = bodies.replace(v=v, w=w)
     else:
-        mode = ("jacobi" if settings.solver_mode == "fused"
-                else settings.solver_mode)
+        mode = {"fused": "jacobi", "fused_seq": "scan"}.get(
+            settings.solver_mode, settings.solver_mode)
         if (mode == "colored" and scene.pair_groups
                 and scene.num_contact_phases <= 1):
             import warnings
@@ -362,12 +363,15 @@ def physics_step(scene: Scene, state: State, settings: PhysicsSettings,
     return new_state, info
 
 
-def _physics_step_fused(scene, state, settings, dt, controls, tracker):
+def _physics_step_fused(scene, state, settings, dt, controls, tracker,
+                        sequential=False):
     """Fused-pipeline step (ops/pallas/fused_step.py): narrowphase + prep +
     solve run inside one Pallas kernel for the pair groups with a
     component-major recipe; other groups get XLA narrowphase+prep passed in
     packed. Same ordering as the main path (physicsStep,
-    physics.cpp:1180-1362); solve semantics = solver_mode \"jacobi\"."""
+    physics.cpp:1180-1362); solve semantics = solver_mode \"jacobi\" when
+    sequential=False, reference-exact \"scan\" when sequential=True
+    (solver_mode \"fused_seq\")."""
     from dxk_tpu.ops.pallas.fused_step import (CM_RECIPES, COL_PARAMS,
                                                make_fused_step_solver)
     from dxk_tpu.ops.solver import prep_contacts
@@ -444,7 +448,8 @@ def _physics_step_fused(scene, state, settings, dt, controls, tracker):
         tracker.check("body_velocities", (bodies.v, bodies.w))
 
     fused = make_fused_step_solver(scene, settings.num_rigid_solver_iterations,
-                                   settings.sor_omega)
+                                   settings.sor_omega,
+                                   sequential=sequential)
     inv_dt = jnp.float32(1.0) / dt
     v_new, w_new, imp_n, live = fused(bodies, w_pack, joint_preps,
                                       tuple(passed), inv_dt)

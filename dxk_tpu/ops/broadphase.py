@@ -66,9 +66,16 @@ def kselect_group_pairs(scene, aabb_min, aabb_max):
     from dxk_tpu.ops.pallas.kselect_broadphase import (class_of,
                                                        kselect_broadphase)
     c = scene.colliders
-    idx, cls, hits = kselect_broadphase(
-        aabb_min, aabb_max, c.body, c.owner_type, c.ctype,
-        num_phases=scene.num_contact_phases, k_sel=scene.broadphase_k)
+    if getattr(scene, "broadphase_kind", "kselect") == "sap":
+        from dxk_tpu.ops.pallas.sap_broadphase import sap_broadphase
+        idx, cls, hits, _wovf = sap_broadphase(
+            aabb_min, aabb_max, c.body, c.owner_type, c.ctype,
+            num_phases=scene.num_contact_phases, k_sel=scene.broadphase_k,
+            window=scene.sap_window, broad_idx=scene.sap_broad)
+    else:
+        idx, cls, hits = kselect_broadphase(
+            aabb_min, aabb_max, c.body, c.owner_type, c.ctype,
+            num_phases=scene.num_contact_phases, k_sel=scene.broadphase_k)
     C, K = idx.shape
     n = C * K
     flat_cls = cls.reshape(-1)

@@ -549,7 +549,9 @@ class SceneBuilder:
     def finalize(self, max_narrow_pairs_per_group: Optional[int] = None,
                  dtype=np.float32, contact_phases: int = 1,
                  broadphase: str = "table", broadphase_k: int = 8,
-                 candidate_margin: Optional[float] = None) -> Scene:
+                 candidate_margin: Optional[float] = None,
+                 sap_window: int = 4,
+                 sap_broad_extent: float = 15.0) -> Scene:
         """contact_phases=K > 1 splits every candidate bucket into K phase
         sub-buckets by a body-index hash chosen so pairs within a phase
         rarely share a dynamic body (chains/stacks become conflict-free).
@@ -563,7 +565,12 @@ class SceneBuilder:
         K-select over all collider pairs, ops/pallas/kselect_broadphase.py)
         instead of masking the static candidate tables — use for scenes with
         hundreds+ of colliders; broadphase_k caps overlapping partners per
-        collider (overflow counted in StepInfo).
+        collider (overflow counted in StepInfo). broadphase='sap' uses the
+        sort-and-sweep kernel instead (ops/pallas/sap_broadphase.py):
+        O(C*window*128) not O(C^2) — use above ~2-4k colliders. Static
+        colliders whose initial bounding radius exceeds sap_broad_extent
+        (the ground plane, arena walls) are paired via a dense side pass
+        rather than the sweep.
 
         candidate_margin=M prunes the static candidate tables AT BUILD
         TIME: a pair is kept only if the colliders' initial bounding
@@ -645,6 +652,15 @@ class SceneBuilder:
         coll_buckets, overlap_np = bake_pair_tables(
             col["ctype"], col["owner_type"], col["body"])
         overlap_pairs = [tuple(p) for p in overlap_np]
+
+        sap_broad = ()
+        if broadphase == "sap":
+            _c, _brads = self._collider_bounding_spheres(col, init_pos,
+                                                         init_rot, nb)
+            sap_broad = tuple(
+                int(i) for i in range(C)
+                if col["owner_type"][i] == OWNER_STATIC
+                and _brads[i] > sap_broad_extent)
 
         if candidate_margin is not None:
             centers, brads = self._collider_bounding_spheres(col, init_pos,
@@ -822,7 +838,11 @@ class SceneBuilder:
             hulls=hulls,
             pair_groups=tuple(groups),
             num_contact_phases=int(contact_phases),
-            broadphase_k=(int(broadphase_k) if broadphase == "kselect" else 0),
+            broadphase_k=(int(broadphase_k)
+                          if broadphase in ("kselect", "sap") else 0),
+            broadphase_kind=("sap" if broadphase == "sap" else "kselect"),
+            sap_window=int(sap_window),
+            sap_broad=sap_broad,
             overlap_groups=tuple(overlap_groups),
             overlap_pairs=jnp.asarray(
                 np.asarray(overlap_pairs, np.int32).reshape(-1, 2)),

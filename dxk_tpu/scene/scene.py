@@ -208,6 +208,14 @@ class Scene:
     # K-select width (0 = masked-table broadphase)
     num_contact_phases: int = struct.field(pytree_node=False, default=1)
     broadphase_k: int = struct.field(pytree_node=False, default=0)
+    # dynamic-broadphase algorithm when broadphase_k > 0: "kselect" sweeps
+    # the O(C^2) pair space in tiles; "sap" sorts by x-min and sweeps a
+    # sap_window-tile band (ops/pallas/sap_broadphase.py) with the
+    # sap_broad colliders (huge statics, e.g. the ground) in a dense side
+    # pass — the TPU answer to collision_broad.cpp's sort-and-sweep
+    broadphase_kind: str = struct.field(pytree_node=False, default="kselect")
+    sap_window: int = struct.field(pytree_node=False, default=4)
+    sap_broad: tuple = struct.field(pytree_node=False, default=())
     overlap_groups: tuple = struct.field(default=())     # tuple[PairGroup]
     overlap_pairs: jnp.ndarray = None   # (Q, 2) int32 trigger/FF pairs
     # joints

@@ -111,6 +111,6 @@ def cloth_step(params: ClothParams, state: ClothState, settings,
             pos = _solve_positions_scan(params, pos)
         vel = vel + (pos - drift_prev) * inv_dt
 
-    vel = vel * (1.0 / (1.0 + dt * params.damping))
+    vel = vel * (1.0 / (1.0 + dt * params.damping))[:, None]
     return ClothState(positions=pos, prev_positions=prev, velocities=vel,
                       forces=jnp.zeros_like(state.forces))

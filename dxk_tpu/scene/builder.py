@@ -142,7 +142,7 @@ class SceneBuilder:
         self._hull_faces: List[tuple] = []            # (normals (F,3), offsets (F,))
         self._force_fields: List[dict] = []
         self._num_triggers = 0
-        self._cloth: Optional[dict] = None
+        self._cloths: list = []
         self._heightfield = None
         self.max_narrow_pairs_per_group: Optional[int] = None
 
@@ -415,14 +415,22 @@ class SceneBuilder:
                   stiffness=1.0, damping=0.5, gravity_factor=1.0,
                   transform_pos=(0, 0, 0), transform_rot=(0, 0, 0, 1)):
         """Grid cloth with the reference's constraint topology and particle
-        layout (cloth.cpp:7-80, 124-130). Top row (y==0) is pinned."""
-        assert self._cloth is None, "one cloth per scene for now"
-        self._cloth = dict(width=width, height=height, grid_x=grid_x,
-                           grid_y=grid_y, total_mass=total_mass,
-                           stiffness=stiffness, damping=damping,
-                           gravity_factor=gravity_factor,
-                           pos=np.asarray(transform_pos, np.float64),
-                           rot=np.asarray(transform_rot, np.float64))
+        layout (cloth.cpp:7-80, 124-130). Top row (y==0) is pinned.
+
+        May be called multiple times (the reference iterates N
+        cloth_components, physics.cpp:1354-1358); all cloths bake into ONE
+        flat particle/constraint system — cloths never interact, so a
+        single fused solve is semantically identical and launches one
+        kernel instead of N. Returns the cloth index; per-cloth particle
+        ranges live in scene.cloth.grids."""
+        self._cloths.append(dict(
+            width=width, height=height, grid_x=grid_x,
+            grid_y=grid_y, total_mass=total_mass,
+            stiffness=stiffness, damping=damping,
+            gravity_factor=gravity_factor,
+            pos=np.asarray(transform_pos, np.float64),
+            rot=np.asarray(transform_rot, np.float64)))
+        return len(self._cloths) - 1
 
     # -- mass properties (physics.cpp:1416-1588) ---------------------------
 
@@ -809,8 +817,9 @@ class SceneBuilder:
 
         # --- cloth -----------------------------------------------------------
         cloth = None
-        if self._cloth is not None:
-            cloth = _bake_cloth(self._cloth, dtype)
+        if self._cloths:
+            cloth = _merge_cloths(
+                [_bake_cloth(spec, dtype) for spec in self._cloths])
 
         return Scene(
             num_bodies=nb,
@@ -909,14 +918,42 @@ def _bake_cloth(spec: dict, dtype) -> ClothParams:
             tris.append((tl, bl, tr))
             tris.append((br, tr, bl))
     return ClothParams(
-        num_x=gx, num_y=gy,
+        grids=((gx, gy, 0),),
         inv_masses=jnp.asarray(inv_masses.astype(dtype)),
         constraints=jnp.asarray(cons),
         rest_lengths=jnp.asarray(rest.astype(dtype)),
         inv_mass_sums=jnp.asarray(inv_mass_sums.astype(dtype)),
         init_positions=jnp.asarray(positions.astype(dtype)),
         triangles=jnp.asarray(np.asarray(tris, np.int32)),
-        gravity_factor=spec["gravity_factor"], damping=spec["damping"])
+        gravity_factor=jnp.full((n,), float(spec["gravity_factor"]), dtype),
+        damping=jnp.full((n,), float(spec["damping"]), dtype))
+
+
+def _merge_cloths(parts: list) -> ClothParams:
+    """Concatenate N baked cloths into one flat system with particle-index
+    offsets (see add_cloth)."""
+    if len(parts) == 1:
+        return parts[0]
+    import numpy as _np
+    grids, off = [], 0
+    cons, tris = [], []
+    for c in parts:
+        gx, gy, _ = c.grids[0]
+        grids.append((gx, gy, off))
+        cons.append(_np.asarray(c.constraints) + off)
+        tris.append(_np.asarray(c.triangles) + off)
+        off += int(c.inv_masses.shape[0])
+    cat = lambda f: jnp.concatenate([getattr(c, f) for c in parts], axis=0)
+    return ClothParams(
+        grids=tuple(grids),
+        inv_masses=cat("inv_masses"),
+        constraints=jnp.asarray(_np.concatenate(cons, axis=0)),
+        rest_lengths=cat("rest_lengths"),
+        inv_mass_sums=cat("inv_mass_sums"),
+        init_positions=cat("init_positions"),
+        triangles=jnp.asarray(_np.concatenate(tris, axis=0)),
+        gravity_factor=cat("gravity_factor"),
+        damping=cat("damping"))
 
 
 def _np_quat_rotate_batch(q, vs):

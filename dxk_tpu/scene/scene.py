@@ -182,16 +182,19 @@ class ClothParams:
     cloth.h / cloth.cpp:7-80): a grid of particles with
     stretch/shear/bend distance constraints."""
 
-    num_x: int = struct.field(pytree_node=False)
-    num_y: int = struct.field(pytree_node=False)
+    # ((num_x, num_y, particle_offset), ...) per cloth — N cloths bake
+    # into one flat particle/constraint system (cloths never interact, so
+    # one fused solve == the reference's per-component loop,
+    # physics.cpp:1354-1358)
+    grids: tuple = struct.field(pytree_node=False, default=())
     inv_masses: jnp.ndarray = None       # (P,)
     constraints: jnp.ndarray = None      # (K, 2) int32 particle pairs
     rest_lengths: jnp.ndarray = None     # (K,)
     inv_mass_sums: jnp.ndarray = None    # (K,) (wA+wB)/stiffness
     init_positions: jnp.ndarray = None   # (P, 3)
     triangles: jnp.ndarray = None        # (T, 3) int32 for wind force
-    gravity_factor: float = struct.field(pytree_node=False, default=1.0)
-    damping: float = struct.field(pytree_node=False, default=0.5)
+    gravity_factor: jnp.ndarray = None   # (P,) per-particle (per cloth)
+    damping: jnp.ndarray = None          # (P,)
 
 
 @struct.dataclass

@@ -62,10 +62,9 @@ def builder_to_dict(b: SceneBuilder) -> dict:
             {"force": np.asarray(ff["force"]).tolist(), "owner": ff["owner"]}
             for ff in b._force_fields],
         "num_triggers": b._num_triggers,
-        "cloth": ({**b._cloth,
-                   "pos": np.asarray(b._cloth["pos"]).tolist(),
-                   "rot": np.asarray(b._cloth["rot"]).tolist()}
-                  if b._cloth else None),
+        "cloths": [{**c, "pos": np.asarray(c["pos"]).tolist(),
+                    "rot": np.asarray(c["rot"]).tolist()}
+                   for c in b._cloths],
     }
 
 
@@ -111,11 +110,13 @@ def builder_from_dict(d: dict) -> SceneBuilder:
         b._force_fields.append({"force": np.asarray(ff["force"], np.float64),
                                 "owner": ff["owner"]})
     b._num_triggers = d.get("num_triggers", 0)
-    if d.get("cloth"):
-        c = dict(d["cloth"])
+    # "cloth" (singular) is the pre-multi-cloth format
+    legacy = [d["cloth"]] if d.get("cloth") else []
+    for c in legacy + list(d.get("cloths", [])):
+        c = dict(c)
         c["pos"] = np.asarray(c["pos"], np.float64)
         c["rot"] = np.asarray(c["rot"], np.float64)
-        b._cloth = c
+        b._cloths.append(c)
     return b
 
 

@@ -61,5 +61,47 @@ class TestCloth:
         assert p[8:, 2].mean() > 0.05
 
 
+class TestMultiCloth:
+    """N cloths bake into one flat system (add_cloth docstring;
+    physics.cpp:1354-1358 iterates cloth components)."""
+
+    def _single(self, pos, damping):
+        b = SceneBuilder()
+        b.add_cloth(width=2.0, height=2.0, grid_x=6, grid_y=6,
+                    total_mass=1.0, damping=damping, transform_pos=pos)
+        return b.finalize()
+
+    def test_two_cloths_match_two_scenes(self):
+        b = SceneBuilder()
+        i0 = b.add_cloth(width=2.0, height=2.0, grid_x=6, grid_y=6,
+                         total_mass=1.0, damping=0.5,
+                         transform_pos=(0, 3, 0))
+        i1 = b.add_cloth(width=2.0, height=2.0, grid_x=6, grid_y=6,
+                         total_mass=1.0, damping=0.9,
+                         transform_pos=(5, 4, 0))
+        scene = b.finalize()
+        assert (i0, i1) == (0, 1)
+        assert scene.cloth.grids == ((6, 6, 0), (6, 6, 36))
+
+        s = scene.initial_state()
+        step = jax.jit(
+            lambda st: physics_step(scene, st, PhysicsSettings(), 1 / 120)[0])
+        for _ in range(60):
+            s = step(s)
+
+        for k, (pos, damping) in enumerate((((0, 3, 0), 0.5),
+                                            ((5, 4, 0), 0.9))):
+            ref = self._single(pos, damping)
+            rs = ref.initial_state()
+            rstep = jax.jit(lambda st, _r=ref: physics_step(
+                _r, st, PhysicsSettings(), 1 / 120)[0])
+            for _ in range(60):
+                rs = rstep(rs)
+            off = scene.cloth.grids[k][2]
+            got = np.asarray(s.cloth.positions)[off:off + 36]
+            want = np.asarray(rs.cloth.positions)
+            assert np.abs(got - want).max() < 1e-5
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])

@@ -42,14 +42,22 @@ def rollout(st, obs, use_policy):
             act = jnp.zeros((N, 27))
         st, obs, r, done = jax.vmap(env.step)(st, act)
         alive = alive & ~done
-        return (st, obs, alive), (r, alive)
-    (_, _, alive), (rs, alives) = jax.lax.scan(body, (st, obs, jnp.ones(N, bool)), None, length=T)
-    return rs, alives
+        vx = st.physics.lin_vel[:, env.torso_id, 0]
+        return (st, obs, alive), (r, alive, vx)
+    (_, _, alive), (rs, alives, vxs) = jax.lax.scan(
+        body, (st, obs, jnp.ones(N, bool)), None, length=T)
+    return rs, alives, vxs
 
 for name, use in [("trained policy", True), ("zero action", False)]:
-    rs, alives = jax.jit(lambda s, o, u=use: rollout(s, o, u))(st, obs)
+    rs, alives, vxs = jax.jit(lambda s, o, u=use: rollout(s, o, u))(st, obs)
     # episode stats up to first fall
     surv = np.asarray(alives).sum(0) / 60.0   # seconds survived (of 10)
+    a = np.asarray(alives)
+    v = np.asarray(vxs)
+    # mean forward velocity over alive timesteps (the walking metric:
+    # learned_locomotion.cpp:345's vcm target tracks torso velocity)
+    vx_alive = float((v * a).sum() / np.maximum(a.sum(), 1))
     print(f"{name}: mean reward/step={float(rs.mean()):.3f} "
           f"mean survival={surv.mean():.2f}s / 10s  "
-          f"episodes surviving full 10s: {(surv >= 9.99).mean()*100:.0f}%")
+          f"episodes surviving full 10s: {(surv >= 9.99).mean()*100:.0f}%  "
+          f"mean forward vx (alive)={vx_alive:.3f} m/s")

@@ -34,6 +34,10 @@ def main():
     ap.add_argument("--walk-target", type=float, default=0.0,
                     help="torso x-velocity target in m/s (DReCon vcm term, "
                          "learned_locomotion.cpp:345); 0 = standing task")
+    ap.add_argument("--curriculum-stages", type=int, default=0,
+                    help="N>0 ramps the walk target 0 -> walk-target over N "
+                         "equal stages of the run (env re-jits per stage); "
+                         "the standing skill bootstraps the gait")
     ap.add_argument("--ckpt-dir", default="/tmp/dxk_loco_ckpt")
     ap.add_argument("--csv", default="/tmp/dxk_loco_train.csv")
     ap.add_argument("--resume", action="store_true")
@@ -48,14 +52,29 @@ def main():
     on_tpu = jax.devices()[0].platform != "cpu"
     num_envs = args.num_envs or (1024 if on_tpu else 16)
 
-    env = LocoEnv(solver_iterations=args.solver_iterations,
-                  solver_mode=args.solver_mode,
-                  narrow_caps={(1, 1): 24, (1, 3): 20, (3, 3): 3},
-                  torso_velocity_target=(args.walk_target, 0.0, 0.0))
     config = PPOConfig(num_envs=num_envs, unroll_length=args.unroll,
                        learning_rate=args.lr,
                        num_minibatches=max(4, num_envs // 64))
-    init_fn, train_step = make_train(env, config)
+
+    def make_step(target):
+        env = LocoEnv(solver_iterations=args.solver_iterations,
+                      solver_mode=args.solver_mode,
+                      narrow_caps={(1, 1): 24, (1, 3): 20, (3, 3): 3},
+                      torso_velocity_target=(target, 0.0, 0.0))
+        init_fn, train_step = make_train(env, config)
+        return init_fn, jax.jit(train_step)
+
+    # curriculum: stage s of N trains at walk_target * (s+1)/N, reusing
+    # the params/optimizer state across stages (the standing skill
+    # bootstraps the gait; only the vcm reward term changes)
+    n_stages = max(args.curriculum_stages, 0)
+    def target_for(i):
+        if n_stages <= 0 or args.walk_target == 0.0:
+            return args.walk_target
+        stage = min(i * n_stages // max(args.iters, 1), n_stages - 1)
+        return args.walk_target * (stage + 1) / n_stages
+
+    init_fn, step = make_step(target_for(0))
 
     ckpt = Checkpointer(args.ckpt_dir)
     tracker = BestModelTracker(ckpt)
@@ -69,9 +88,14 @@ def main():
         start = ckpt.latest_step
         print(f"resumed params from step {start}")
 
-    step = jax.jit(train_step)
     t0 = time.time()
+    cur_target = target_for(start)
     for i in range(start, start + args.iters):
+        t = target_for(i - start)
+        if t != cur_target:
+            cur_target = t
+            _, step = make_step(t)
+            print(f"curriculum: walk target -> {t:.2f} m/s")
         ts, metrics = step(ts)
         sync(metrics["loss"])
         r = float(metrics["reward_per_step"])

@@ -303,7 +303,10 @@ def bench_cloth_vehicle_heightfield(batch, steps, iters_timed,
     veh = add_vehicle(b, initial_position=(0.0, 1.6, 0.0))
     b.add_cloth(width=2.0, height=2.0, grid_x=12, grid_y=12, total_mass=1.0,
                 transform_pos=(6.0, 3.0, 0.0))
-    scene = b.finalize(max_narrow_pairs_per_group=96)
+    # uncapped tables -> fused-eligible: terrain contacts enter the kernel
+    # as a prep-passed pseudo-group since round 3 (falls back to jacobi
+    # automatically if eligibility regresses)
+    scene = b.finalize()
     c = scene.default_controls
     c = c.replace(
         hinge_motor_type=c.hinge_motor_type.at[veh.motor_hinge].set(0),
@@ -311,7 +314,7 @@ def bench_cloth_vehicle_heightfield(batch, steps, iters_timed,
         hinge_max_torque=c.hinge_max_torque.at[veh.motor_hinge].set(500.0))
     scene = scene.replace(default_controls=c)
     settings = PhysicsSettings(num_rigid_solver_iterations=solver_iterations,
-                               solver_mode="jacobi")
+                               solver_mode="fused")
     state = _broadcast_state(scene, batch)
     return _time_batched_steps(scene, settings, state, steps, iters_timed, 16)
 

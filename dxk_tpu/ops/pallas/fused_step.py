@@ -53,8 +53,6 @@ def fused2_eligible(scene) -> bool:
     """Fused-pipeline eligibility: static tables, supported joints, no
     heightfield/cloth contacts in the solve. Groups without a cm recipe
     are fine (they ride the prep-passed path)."""
-    if scene.heightfield is not None:
-        return False
     if scene.broadphase_k > 0:
         return False
     if not scene.pair_groups:
@@ -88,6 +86,20 @@ def _group_static(scene):
             body_a=body_of[ca].tolist(), body_b=body_of[cb2].tolist(),
             fric=pf.astype(np.float32), rest=pr.astype(np.float32),
             phase=int(g.phase)))
+    # heightfield terrain contacts enter as a prep-passed pseudo-group:
+    # one row per collider x 4 points, body_a = the collider's owner
+    # (static wiring), body_b = dummy — its own trailing phase slice, same
+    # as the XLA path's hf block (physics.py; heightmapCollision,
+    # physics.cpp:1238-1248)
+    if scene.heightfield is not None:
+        body_list = body_of.tolist()
+        cC = len(body_list)
+        max_ph = max((m["phase"] for m in out), default=0)
+        out.append(dict(
+            pg=cC, k=4, ta=-1, tb=-1, native=False,
+            col_a=[], col_b=[],
+            body_a=body_list, body_b=[scene.num_bodies] * cC,
+            fric=None, rest=None, phase=max_ph + 1))
     return out
 
 

@@ -424,6 +424,16 @@ def _physics_step_fused(scene, state, settings, dt, controls, tracker,
             cmask.astype(pts.dtype), dt)
         passed.append(prep)
 
+    # heightfield terrain contacts: XLA narrowphase+prep, passed into the
+    # kernel as the trailing pseudo-group (see fused_step._group_static)
+    if scene.heightfield is not None:
+        from dxk_tpu.ops.heightmap import heightfield_contacts
+        hpts, hnrm, hdps, hba, hbb, hfr, hre, hcm = heightfield_contacts(
+            scene.heightfield, w, w.body, mn, mx, scene.num_bodies)
+        passed.append(prep_contacts(
+            bodies, hba, hbb, hpts, hnrm, hdps, hfr, hre,
+            hcm.astype(hpts.dtype), dt))
+
     # joint prep (XLA — small), one entry per joint type present in the
     # scene, in scene_joint_ab (reference solve) order
     from dxk_tpu.ops.pallas.batched_solver import scene_joint_ab

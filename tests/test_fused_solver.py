@@ -236,3 +236,38 @@ def test_loco_env_fused_smoke():
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+@pytest.mark.slow
+def test_heightfield_scene_fused_matches_jacobi():
+    """Terrain contacts ride the prep-passed pseudo-group (round 3):
+    fused must reproduce the XLA jacobi path on a heightfield scene."""
+    import numpy as np
+    from dxk_tpu.ops.pallas.fused_step import fused2_eligible
+
+    b = SceneBuilder()
+    hx, hz = 9, 9
+    xs, zs = np.meshgrid(np.arange(hx), np.arange(hz), indexing="ij")
+    H = (0.3 * np.sin(xs * 0.5) * np.cos(zs * 0.5)).astype(np.float32)
+    b.set_heightfield(H, cell_size=1.0, min_corner=(-4.0, 0.0, -4.0),
+                      friction=1.0)
+    s = b.add_body(position=(0.0, 1.5, 0.0))
+    b.add_sphere_collider(s, (0, 0, 0), 0.4)
+    c = b.add_body(position=(1.0, 2.0, 0.5))
+    b.add_capsule_collider(c, (0, -0.25, 0), (0, 0.25, 0), 0.2)
+    scene = b.finalize()
+    assert fused2_eligible(scene)
+
+    sj = PhysicsSettings(num_rigid_solver_iterations=10,
+                         solver_mode="jacobi")
+    sf = PhysicsSettings(num_rigid_solver_iterations=10,
+                         solver_mode="fused")
+    stj = scene.initial_state()
+    stf = scene.initial_state()
+    stepj = jax.jit(lambda s: physics_step(scene, s, sj, 1 / 120)[0])
+    stepf = jax.jit(lambda s: physics_step(scene, s, sf, 1 / 120)[0])
+    for _ in range(60):
+        stj = stepj(stj)
+        stf = stepf(stf)
+    assert float(jnp.abs(stj.pos - stf.pos).max()) < 1e-4
+    assert bool(jnp.isfinite(stf.pos).all())

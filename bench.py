@@ -319,6 +319,52 @@ def bench_cloth_vehicle_heightfield(batch, steps, iters_timed,
     return _time_batched_steps(scene, settings, state, steps, iters_timed, 16)
 
 
+def bench_fidelity_seq(steps=1000):
+    """VERDICT r2 #7 evidence: run a golden scene on-chip with
+    solver_mode='fused_seq' (reference-exact sequential impulses inside
+    the fused kernel) and report steps/s + max deviation from the
+    CPU-recorded golden trajectory (tests/golden)."""
+    import importlib.util
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    spec = importlib.util.spec_from_file_location(
+        "golden_mod", os.path.join(here, "tests",
+                                   "test_golden_trajectories.py"))
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+
+    from dxk_tpu.physics import PhysicsSettings, physics_step
+
+    settings = PhysicsSettings(solver_mode="fused_seq")
+    devs = {}
+    rate = 0.0
+    for name, b in list(m.scenes())[:3]:    # sphere, box stack, pendulum
+        scene = b.finalize()
+        path = os.path.join(here, "tests", "golden", f"{name}.npy")
+        if not os.path.exists(path):
+            continue
+        golden = np.load(path)
+        # batch of 1 (padded to the kernel's 128 lanes) so the run goes
+        # through the Pallas sequential kernel, not the XLA fallback
+        state = jax.tree_util.tree_map(
+            lambda x: x[None], scene.initial_state())
+        step = jax.jit(jax.vmap(
+            lambda s: physics_step(scene, s, settings, m.DT)[0]))
+        traj = []
+        t0 = time.time()
+        for i in range(steps):
+            state = step(state)
+            if i % m.GOLDEN_EVERY == m.GOLDEN_EVERY - 1:
+                traj.append(np.concatenate(
+                    [np.asarray(state.pos[0]).ravel(),
+                     np.asarray(state.rot[0]).ravel()]))
+        dt_wall = time.time() - t0
+        traj = np.stack(traj)
+        devs[name] = float(np.abs(traj - golden[:len(traj)]).max())
+        rate = steps / dt_wall
+    return rate, devs
+
+
 class _Reporter:
     """Accumulates extras and re-prints the full JSON result line after
     every config. stdout carries ONLY JSON lines; progress goes to stderr."""
@@ -458,10 +504,17 @@ def main():
         run_config("loco", 150, do_loco)
     if not args.skip_box:
         run_config("box", 120, do_box)
+    def do_fidelity_seq():
+        r, devs = bench_fidelity_seq(steps=1000 if on_tpu else 50)
+        rep.extras.update(
+            fidelity_seq_steps_per_s=round(r),
+            fidelity_seq_max_dev={k: round(v, 6) for k, v in devs.items()})
+
     if not args.skip_aux:
         run_config("ragdoll_settle", 60, do_settle)
         run_config("zoo", 60, do_zoo)
         run_config("cloth_vehicle_hf", 60, do_cloth_vehicle)
+        run_config("fidelity_seq", 60, do_fidelity_seq)
 
     signal.alarm(0)
     rep.emit()

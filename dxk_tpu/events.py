@@ -90,3 +90,23 @@ def collision_events(scene, prev_info, info, min_impulse: float = 0.0,
     begins = [ev(k, v) for k, v in sorted(cur.items()) if k not in prev]
     ends = [ev(k, v) for k, v in sorted(prev.items()) if k not in cur]
     return begins, ends
+
+
+def collision_events_batched(scene, prev_info, info, min_impulse: float = 0.0):
+    """Per-env begin/end diffs for vmapped StepInfos: returns a list of
+    (begins, ends) with one entry per env (the reference runs its event
+    merge once per world; a vmapped batch is N worlds). Host-side."""
+    import jax
+
+    n = np.asarray(info.contact_mask).shape[0]
+
+    def env_slice(tree, i):
+        return jax.tree_util.tree_map(
+            lambda x: x[i] if x is not None else None, tree)
+
+    out = []
+    for i in range(n):
+        out.append(collision_events(
+            scene, env_slice(prev_info, i) if prev_info is not None else None,
+            env_slice(info, i), min_impulse))
+    return out

@@ -111,3 +111,37 @@ def test_validate_reports_first_bad_stage(field, stage):
     bad = st.replace(**{field: getattr(st, field).at[body, 1].set(jnp.nan)})
     _, info = step(bad)
     assert int(info.validate_stage) == STAGE_ID[stage]
+
+
+def test_collision_events_batched():
+    """Batched event diffing: one (begins, ends) per vmapped env; envs with
+    different trajectories get different events."""
+    from dxk_tpu.events import collision_events_batched
+
+    b = SceneBuilder()
+    g = b.add_static()
+    b.add_box_collider(g, (0, -1, 0), (20, 1, 20))
+    s = b.add_body(position=(0, 1.2, 0))
+    b.add_sphere_collider(s, (0, 0, 0), 0.5)
+    scene = b.finalize()
+
+    base = scene.initial_state()
+    batch = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (2, *x.shape)).copy(), base)
+    # env 1 starts high enough not to touch within the horizon
+    batch = batch.replace(pos=batch.pos.at[1, s, 1].set(8.0))
+
+    settings = PhysicsSettings()
+    step = jax.jit(jax.vmap(
+        lambda st: physics_step(scene, st, settings, 1 / 120)))
+    info = None
+    events_seen = [[], []]
+    st = batch
+    for _ in range(60):
+        prev = info
+        st, info = step(st)
+        for i, (begins, ends) in enumerate(
+                collision_events_batched(scene, prev, info)):
+            events_seen[i].extend(begins)
+    assert len(events_seen[0]) >= 1      # env 0's sphere lands
+    assert len(events_seen[1]) == 0      # env 1 still falling

@@ -66,7 +66,7 @@ class LocoEnv:
         b.add_box_collider(ground, (0, 0, 0), (20.0, 4.0, 20.0),
                            friction=1.0, restitution=0.1)
         self.ragdoll = add_ragdoll(b, initial_hip_position=(0.0, 1.25, 0.0))
-        if solver_mode == "fused":
+        if solver_mode in ("fused", "fused_seq"):
             # the fused batched solver kernel requires static pair tables
             # (cap == table size): liveness arrives as masked prep, and the
             # solve itself is ~free, so uncapped tables trade a bigger

@@ -66,9 +66,10 @@ def kselect_group_pairs(scene, aabb_min, aabb_max):
     from dxk_tpu.ops.pallas.kselect_broadphase import (class_of,
                                                        kselect_broadphase)
     c = scene.colliders
+    wovf = jnp.int32(0)
     if getattr(scene, "broadphase_kind", "kselect") == "sap":
         from dxk_tpu.ops.pallas.sap_broadphase import sap_broadphase
-        idx, cls, hits, _wovf = sap_broadphase(
+        idx, cls, hits, wovf = sap_broadphase(
             aabb_min, aabb_max, c.body, c.owner_type, c.ctype,
             num_phases=scene.num_contact_phases, k_sel=scene.broadphase_k,
             window=scene.sap_window, broad_idx=scene.sap_broad)
@@ -82,7 +83,10 @@ def kselect_group_pairs(scene, aabb_min, aabb_max):
     flat_j = idx.reshape(-1)
     pos = jnp.arange(n, dtype=jnp.int32)
     num_overlaps = jnp.sum(hits)
-    row_dropped = jnp.sum(jnp.maximum(hits - K, 0))
+    # rows that outran the SAP sort window may be MISSING pairs (not just
+    # dropped by capacity) — surface them in the same overflow counter so
+    # StepInfo.broadphase_overflow != 0 flags an undersized sap_window
+    row_dropped = jnp.sum(jnp.maximum(hits - K, 0)) + wovf
 
     out = {}
     for gi, group in enumerate(scene.pair_groups):

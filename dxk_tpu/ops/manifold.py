@@ -35,8 +35,10 @@ def _scatter_vals(indices, values, out_rows):
 
 POLY_SLOTS = 8
 _NEG = -3.4e38
-# Tie margin for reduce_manifold's vertex selection; see masked_argmax.
-# Must stay equal to the copy in ops/pallas/cm_narrowphase.py.
+# RELATIVE tie margin for reduce_manifold's vertex selection (a later
+# vertex must beat the incumbent by REDUCE_TIE_TOL * (|best| + |cand|);
+# scale-invariant). Must stay equal to the copy in
+# ops/pallas/cm_narrowphase.py.
 REDUCE_TIE_TOL = 1e-4
 
 
@@ -142,7 +144,8 @@ def reduce_manifold(verts, depths, n, normal):
         best = scores[0]
         bi = jnp.int32(0)
         for k in range(1, S):
-            upd = scores[k] > best + REDUCE_TIE_TOL
+            upd = scores[k] > best + (
+                REDUCE_TIE_TOL * (jnp.abs(best) + jnp.abs(scores[k])) + 1e-9)
             best = jnp.where(upd, scores[k], best)
             bi = jnp.where(upd, k, bi)
         return bi

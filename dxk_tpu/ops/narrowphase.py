@@ -26,11 +26,13 @@ from dxk_tpu.ops.manifold import (POLY_SLOTS, make_plane, project_and_filter,
                                   sutherland_hodgman)
 
 EPSILON = 1e-6  # math.h:22
-# Minimum improvement for a later SAT candidate to replace the current
-# winner in box_box_contact (and its component-major Pallas port). Ties at
-# this scale are physically equivalent (contact sets differ only by a
-# depth-sized shift along the normal); breaking them deterministically
-# keeps the AoS and CM paths in exact agreement.
+# Minimum RELATIVE improvement for a later SAT candidate to replace the
+# current winner in box_box_contact (and its component-major Pallas port):
+# a candidate must beat the incumbent by SAT_TIE_TOL * (|best| + |cand|).
+# Ties at this scale are physically equivalent (contact sets differ only
+# by a depth-sized shift along the normal); breaking them
+# deterministically keeps the AoS and CM paths in exact agreement, and the
+# relative form stays scale-invariant (mm-sized geometry included).
 SAT_TIE_TOL = 1e-4
 
 _UP = jnp.array([0.0, 1.0, 0.0], jnp.float32)
@@ -337,7 +339,8 @@ def box_box_contact(ca, ha, qa, cb, hb, qb):
     best = scores[0]
     winner = jnp.int32(0)
     for k in range(1, 15):
-        upd = scores[k] < best - SAT_TIE_TOL
+        margin = SAT_TIE_TOL * (jnp.abs(best) + jnp.abs(scores[k])) + 1e-9
+        upd = scores[k] < best - margin
         best = jnp.where(upd, scores[k], best)
         winner = jnp.where(upd, k, winner)
     is_face_a = winner < 3
@@ -666,8 +669,88 @@ def box_hull_contact(bc, bh, bq, hp, hq, verts, vmask):
                           (hp, hq, verts, vmask))
 
 
+def _support_polygon(world_verts, mask, n, amax, ext, centroid):
+    """Ordered (POLY_SLOTS, 3) polygon of the support set {v : dot(v, n) >=
+    amax - tol} (the hull's contact face/edge along n), CCW around n.
+    Returns (poly (8, 3), count ()). The support set of a convex hull is a
+    convex polygon, so angle-around-centroid ordering is valid."""
+    from dxk_tpu.core.maths import get_tangent
+    s = dot(world_verts, n)
+    tol = 1e-3 * (ext + 1e-3)
+    sel = mask & (s >= amax - tol)
+    cnt_all = jnp.sum(sel.astype(jnp.int32))
+    t1 = get_tangent(n)
+    t2 = cross(n, t1)
+    rel = world_verts - centroid
+    ang = jnp.arctan2(dot(rel, t2), dot(rel, t1))
+    ang = jnp.where(sel, ang, 3.4e38)        # dead verts sort last
+    order = jnp.argsort(ang)
+    poly = world_verts[order[:POLY_SLOTS]]
+    return poly, jnp.minimum(cnt_all, POLY_SLOTS)
+
+
 def hull_hull_contact(ap, aq, averts, amask, bp, bq, bverts, bmask):
-    """hull-hull single contact (multi-contact is a TODO in the reference,
-    collision_narrow.cpp:1558-1584)."""
-    return _gjk_epa_point(support_hull, support_hull, (ap, aq, averts, amask),
-                          (bp, bq, bverts, bmask))
+    """hull-hull contact with a clipped multi-point manifold.
+
+    The reference emits a single EPA contact and leaves the manifold as a
+    TODO (collision_narrow.cpp:1558-1584); flat-on-flat hull stacks then
+    torque-jitter on one alternating point. Here, when both hulls present
+    >= 2 support vertices along the EPA normal (face or edge contact), the
+    incident support polygon of B is Sutherland-Hodgman-clipped against
+    the side planes of A's support polygon and reduced to <= 4 points —
+    the same machinery as box-box (ops/manifold.py). Vertex contacts keep
+    the single EPA point."""
+    pts1, dps1, nrm, cnt1, hit = _gjk_epa_point(
+        support_hull, support_hull, (ap, aq, averts, amask),
+        (bp, bq, bverts, bmask))
+    n = nrm
+
+    va = quat_rotate(aq[None, :], averts) + ap
+    vb = quat_rotate(bq[None, :], bverts) + bp
+    sa = jnp.where(amask, dot(va, n), -3.4e38)
+    sb = jnp.where(bmask, dot(vb, n), 3.4e38)
+    amax = jnp.max(sa)
+    bmin = jnp.min(sb)
+    ext_a = amax - jnp.min(jnp.where(amask, dot(va, n), 3.4e38))
+    ext_b = jnp.max(jnp.where(bmask, dot(vb, n), -3.4e38)) - bmin
+    ca = jnp.sum(jnp.where(amask[:, None], va, 0.0), axis=0) \
+        / jnp.maximum(jnp.sum(amask), 1)
+    cb = jnp.sum(jnp.where(bmask[:, None], vb, 0.0), axis=0) \
+        / jnp.maximum(jnp.sum(bmask), 1)
+
+    a_poly, na = _support_polygon(va, amask, n, amax, ext_a, ca)
+    b_poly, nb = _support_polygon(vb, bmask, -n, -bmin, ext_b, cb)
+
+    # reference face on A (normal n out of A); incident polygon = B's set
+    a_sup = va[jnp.argmax(sa)]
+    ref_plane = make_plane(a_sup, n)
+    poly_v = jnp.zeros((POLY_SLOTS, 3), va.dtype).at[:POLY_SLOTS].set(b_poly)
+    poly_d = -signed_distance(poly_v, ref_plane)
+    n_pts = nb
+
+    # clip against A's polygon side planes (interior is left of each CCW
+    # edge viewed from +n; unnormalized normals are fine — _clip_one_plane
+    # is scale-invariant). For na == 2 the two opposing edge planes cut B
+    # down to the shared segment (edge-edge / edge-face -> 2 points).
+    from dxk_tpu.ops.manifold import _clip_one_plane
+    for i in range(POLY_SLOTS):
+        # live edges: (i, i+1) for i < na-1, wrap edge (na-1, 0)
+        is_wrap = i == na - 1
+        end = jnp.where(is_wrap, a_poly[0], a_poly[(i + 1) % POLY_SLOTS])
+        side_n = cross(n, end - a_poly[i])
+        plane = make_plane(a_poly[i], side_n)
+        nv, nd, nn = _clip_one_plane(poly_v, poly_d, n_pts, plane)
+        use = i < na
+        poly_v = jnp.where(use, nv, poly_v)
+        poly_d = jnp.where(use, nd, poly_d)
+        n_pts = jnp.where(use, nn, n_pts)
+
+    poly_v, poly_d, n_pts = project_and_filter(poly_v, poly_d, n_pts,
+                                               ref_plane)
+    m_pts, m_dps, m_cnt = reduce_manifold(poly_v, poly_d, n_pts, n)
+
+    multi = hit & (na >= 2) & (nb >= 2) & (m_cnt >= 2)
+    pts = jnp.where(multi, m_pts, pts1)
+    dps = jnp.where(multi, m_dps, dps1)
+    cnt = jnp.where(multi, m_cnt, cnt1)
+    return pts, dps, nrm, cnt, hit

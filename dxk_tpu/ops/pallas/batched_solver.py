@@ -22,7 +22,8 @@ lockstep). Concretely:
     eff_mass == 0 and contribute exactly zero impulse — the same guarantee
     the masked XLA path relies on);
   - ALL 7 constraint types solve in-kernel (round 3; reference SIMD paths
-    constraints.cpp:189-3306); a heightfield falls back to the XLA path;
+    constraints.cpp:189-3306); heightfield terrain contacts enter as a
+    prep-passed pseudo-group (fused_step._group_static);
   - solver semantics match solver_mode="jacobi": per-type averaged-Jacobi
     passes in the reference's type order, degree-averaged per body
     (constraints.cpp:3748-3772 order), contact manifolds solved
@@ -41,9 +42,11 @@ Data layout inside the kernel (all f32):
     dynamic address computation.
   - joints: few rows — direct static row reads from vw.
 
-The fused call sits behind jax.custom_batching.custom_vmap: unbatched it
-falls back to the XLA jacobi path; under vmap the whole batch enters the
-kernel with a grid over 128-env chunks.
+This module hosts the shared solve machinery (per-type joint solves,
+contact point solve, packing layouts, padding); the kernel itself — which
+also fuses narrowphase + prep in front of the solve — lives in
+fused_step.py behind a jax.custom_batching.custom_vmap (unbatched falls
+back to plain XLA, vmap enters the kernel in 128-env chunks).
 """
 
 from __future__ import annotations
@@ -113,70 +116,6 @@ SLIDER_ROWS = len(SLIDER_VECS) * 3 + 4 + 2 + 9 + len(SLIDER_SCALS)
 # reference solve order within one iteration (constraints.cpp:3748-3772);
 # contacts come after all joint types
 JOINT_ORDER = ("distance", "ball", "fixed", "hinge", "cone_twist", "slider")
-
-
-def fused_eligible(scene, prepped) -> bool:
-    """Static check: can this scene solve in the fused kernel?"""
-    if scene.heightfield is not None:
-        return False
-    if prepped.contacts is None:
-        return False
-    if scene.broadphase_k > 0:
-        return False
-    for g in scene.pair_groups:
-        if g.max_narrow != g.pairs.shape[0]:
-            return False
-    return True
-
-
-def make_fused_solver(scene, num_iterations, omega=1.0):
-    """Returns fn(bodies, prepped) -> (v, w, contact_imp_n).
-
-    The returned function is a jax.custom_batching.custom_vmap: called
-    unbatched (a single env) it runs the XLA jacobi path; under vmap the
-    whole env batch enters the fused kernel. physics_step stays per-env
-    code — the batch dimension the caller's vmap introduces is what the
-    kernel consumes."""
-    from dxk_tpu.ops.solver import solve_constraints
-
-    @jax.custom_batching.custom_vmap
-    def fused(bodies, prepped):
-        out_bodies, imp = solve_constraints(bodies, prepped, num_iterations,
-                                            "jacobi", omega)
-        return out_bodies.v, out_bodies.w, imp
-
-    @fused.def_vmap
-    def _fused_vmap(axis_size, in_batched, bodies, prepped):
-        # leaves that are scene constants (inv_mass, static tables) arrive
-        # unbatched — broadcast them so the packer sees uniform (B, ...)
-        def bc(x, b):
-            return x if b else jnp.broadcast_to(
-                jnp.asarray(x), (axis_size, *jnp.shape(x)))
-        bodies = jax.tree_util.tree_map(bc, bodies, in_batched[0])
-        prepped = jax.tree_util.tree_map(bc, prepped, in_batched[1])
-        v, w, imp = fused_solve_batched(scene, bodies, prepped,
-                                        num_iterations, omega)
-        return (v, w, imp), (True, True, True)
-
-    return fused
-
-
-def _group_meta(scene):
-    """Static per-group metadata: (P_g, K_g, body_a, body_b, phase) with
-    bodies as python int lists, in the same phase-sorted order physics_step
-    concatenates prep."""
-    body_of = np.asarray(scene.colliders.body)
-    metas = []
-    for gi in sorted(range(len(scene.pair_groups)),
-                     key=lambda i: scene.pair_groups[i].phase):
-        g = scene.pair_groups[gi]
-        pairs = np.asarray(g.pairs)
-        key = (min(g.type_a, g.type_b), max(g.type_a, g.type_b))
-        k = TYPE_MAX_POINTS.get(key, 4)
-        metas.append((pairs.shape[0], k,
-                      body_of[pairs[:, 0]].tolist(),
-                      body_of[pairs[:, 1]].tolist(), int(g.phase)))
-    return metas
 
 
 def phase_partition(phases):
@@ -514,20 +453,6 @@ def _slider_one(f, inv_ma, inv_mb, inv_ia, inv_ib, va, wa, vb, wb,
 # a persistent VMEM scratch (a few microseconds — VMEM-to-VMEM).
 
 
-def _cvec_rows(kg):
-    return kg * 8 * 3          # per-pair column-slices of vec fields
-
-
-def _cscal_rows(kg):
-    return kg * 4
-
-
-def _con_slices(pg, kg):
-    """Total (Pg, CB)-column-slices in a group's packed tensor
-    (vec | scal | inv_ma | inv_mb)."""
-    return _cvec_rows(kg) + _cscal_rows(kg) + 2
-
-
 def _round128(x):
     return ((x + 127) // 128) * 128
 
@@ -769,162 +694,6 @@ def scene_joint_ab(scene):
     return out
 
 
-def _make_kernel(metas, joints, nb, num_iterations, omega):
-    """joints: [(name, [(a, b), ...])] in reference solve order."""
-    n_groups = len(metas)
-    phase_groups = phase_partition([m[4] for m in metas])
-    n_ph = len(phase_groups)
-
-    def kernel(*refs):
-        it = iter(refs)
-        vw_ref = next(it)                      # (CB, 6*NB) block
-        invm_ref = next(it)                    # (CB, NB)
-        invI_ref = next(it)                    # (CB, 9*NB) cols i*NB+n
-        invdeg_ref = next(it)                  # (CB, n_ph*NB) contacts
-        idg_joint_ref = next(it)               # (6, NB) const
-        g_con, g_gat, g_sca = [], [], []
-        for _g in range(n_groups):
-            g_con.append(next(it))             # HBM (B, S*Pg)
-            g_gat.append(next(it))             # (2Pg, NB) const
-            g_sca.append(next(it))             # (NB, 2Pg) const
-        joint_refs = [next(it) for _ in joints]      # (CB, J*ROWS) each
-        vw_out = next(it)                      # (CB, 6*NB)
-        imp_outs = [next(it) for _g in range(n_groups)]   # (CB, K*Pg)
-        scratches = [next(it) for _g in range(n_groups)]  # (S*Pg, CB) VMEM
-        bounce = next(it)                      # (CB, max cols) VMEM
-        sem = next(it)                         # DMA semaphore
-
-        chunk = pl.program_id(0)
-
-        # ---- stage contact tensors: one DMA per group (padded width, so
-        # the destination slice stays 128-lane aligned), then one MXU
-        # transpose into the entity-major scratch
-        for g, (pg, kg, _a, _b, _ph) in enumerate(metas):
-            cols_p = _round128(_con_slices(pg, kg) * pg)
-            cp = pltpu.make_async_copy(
-                g_con[g].at[pl.ds(chunk * CB, CB), :],
-                bounce.at[:, pl.ds(0, cols_p)], sem)
-            cp.start()
-            cp.wait()
-            scratches[g][:, :] = _mxu_t(bounce[:, :cols_p])
-
-        # ---- small tensors: one MXU transpose each
-        vw_t = _mxu_t(vw_ref[:, :])       # (6NB, CB)
-        invm_t = _mxu_t(invm_ref[:, :])   # (NB, CB)
-        invI_t = _mxu_t(invI_ref[:, :])   # (9NB, CB)
-        idg_t = _mxu_t(invdeg_ref[:, :])  # (n_ph*NB, CB)
-        joint_ts = [_mxu_t(r[:, :]) for r in joint_refs]
-
-        # vw as (NB, 6*CB): component c of body n in lanes [c*CB:(c+1)*CB]
-        # (assembled from the comp-major rows c*NB+n)
-        vw0 = jnp.concatenate(
-            [vw_t[c * nb:(c + 1) * nb, :] for c in range(6)], axis=1)
-        inv_deg_con = [jnp.concatenate(
-            [idg_t[p * nb:(p + 1) * nb]] * 6, axis=1) for p in range(n_ph)]
-        type_row = {name: i for i, name in enumerate(JOINT_ORDER)}
-        inv_deg_joint = []
-        for name, _ab in joints:
-            row = jnp.broadcast_to(
-                idg_joint_ref[type_row[name], :][:, None], (nb, CB))
-            inv_deg_joint.append(jnp.concatenate([row] * 6, axis=1))
-
-        def comp(x, c):
-            return x[:, c * CB:(c + 1) * CB]
-
-        def one_iteration(_i, carry):
-            vw, con_imps, joint_imps = carry
-
-            # ---- joint passes in reference type order -------------------
-            new_joint_imps = []
-            for ji, (name, ab) in enumerate(joints):
-                vw, accs = _solve_joint_type(
-                    name, ab, joint_ts[ji], vw, invm_t, invI_t, nb, CB,
-                    inv_deg_joint[ji], omega, joint_imps[ji])
-                new_joint_imps.append(accs)
-            joint_imps = tuple(new_joint_imps)
-
-            # ---- contact pass (pair-vectorized per group) ---------------
-            # phases run as sequential Gauss-Seidel slices; within a phase
-            # all groups read the same velocity snapshot (jacobi) and
-            # per-body deltas sum then degree-average — exactly
-            # _contact_phased_pass's update.
-            new_con_imps = [None] * n_groups
-            for pi, glist in enumerate(phase_groups):
-              all_deltas = jnp.zeros_like(vw)
-              for g in glist:
-                pg, kg, _ba, _bb, _ph = metas[g]
-                sc = scratches[g]
-                nvec = _cvec_rows(kg)
-                u = jax.lax.dot_general(
-                    g_gat[g][:, :], vw,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)      # (2Pg, 6CB)
-                va = tuple(comp(u[:pg], c) for c in range(3))
-                wa = tuple(comp(u[:pg], c + 3) for c in range(3))
-                vb = tuple(comp(u[pg:], c) for c in range(3))
-                wb = tuple(comp(u[pg:], c + 3) for c in range(3))
-                va0, wa0, vb0, wb0 = va, wa, vb, wb
-                inv_ma = sc[(nvec + _cscal_rows(kg)) * pg:
-                            (nvec + _cscal_rows(kg) + 1) * pg, :]
-                inv_mb = sc[(nvec + _cscal_rows(kg) + 1) * pg:
-                            (nvec + _cscal_rows(kg) + 2) * pg, :]
-                imp_n, imp_t = con_imps[g]
-                nn, tt = [], []
-                for k in range(kg):
-                    cv = []
-                    for fi in range(8):
-                        base = (k * 8 + fi) * 3
-                        cv.append(tuple(
-                            sc[(base + c) * pg:(base + c + 1) * pg, :]
-                            for c in range(3)))
-                    cs = tuple(
-                        sc[(nvec + k * 4 + si) * pg:
-                           (nvec + k * 4 + si + 1) * pg, :]
-                        for si in range(4))
-                    va, wa, vb, wb, ik_n, ik_t = _contact_point(
-                        cv, cs, inv_ma, inv_mb, va, wa, vb, wb,
-                        imp_n[k], imp_t[k])
-                    nn.append(ik_n)
-                    tt.append(ik_t)
-                new_con_imps[g] = (nn, tt)
-                da = list(_sub(va, va0)) + list(_sub(wa, wa0))
-                db = list(_sub(vb, vb0)) + list(_sub(wb, wb0))
-                d = jnp.concatenate(
-                    [jnp.concatenate(da, axis=1),
-                     jnp.concatenate(db, axis=1)], axis=0)   # (2Pg, 6CB)
-                all_deltas = all_deltas + jax.lax.dot_general(
-                    g_sca[g][:, :], d,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)      # (NB, 6CB)
-              vw = vw + all_deltas * (omega * inv_deg_con[pi])
-            return vw, tuple(new_con_imps), joint_imps
-
-        # impulse accumulators start at zero every step
-        # (constraints.cpp:3324-3325 — no warm starting)
-        zero = jnp.zeros((CB,), jnp.float32)
-        con0 = tuple(
-            ([jnp.zeros((pg, CB), jnp.float32) for _ in range(kg)],
-             [jnp.zeros((pg, CB), jnp.float32) for _ in range(kg)])
-            for (pg, kg, _a, _b, _ph) in metas)
-        joints0 = tuple(
-            tuple([zero for _ in ab]
-                  for _ in range(JOINT_SPECS[name][6]))
-            for name, ab in joints)
-
-        vw, con_imps, _j = jax.lax.fori_loop(
-            0, num_iterations, one_iteration, (vw0, con0, joints0))
-
-        out_rows = jnp.concatenate(
-            [vw[:, c * CB:(c + 1) * CB] for c in range(6)], axis=0)
-        vw_out[:, :] = _mxu_t(out_rows)
-        for g, (pg, kg, _a, _b, _ph) in enumerate(metas):
-            nn = con_imps[g][0]
-            rows = jnp.concatenate(nn, axis=0)               # (K*Pg, CB)
-            imp_outs[g][:, :] = _mxu_t(rows)
-
-    return kernel
-
-
 def _acc(delta, n, dv, dw):
     cur = delta.get(n)
     entry = list(dv) + list(dw)
@@ -958,44 +727,6 @@ def _apply_delta(vw, delta, inv_deg, omega):
 # XLA-side packing + custom_vmap wrapper
 
 
-def _inv_degrees(body_a, body_b, nbb):
-    """(B, P) int32 pair bodies -> (B, nbb) 1/degree. One-hot sums — a
-    vmapped scatter-add costs ~6 ms at B=1024 on the chip."""
-    oh = (jax.nn.one_hot(body_a, nbb, dtype=jnp.float32).sum(axis=1)
-          + jax.nn.one_hot(body_b, nbb, dtype=jnp.float32).sum(axis=1))
-    return 1.0 / jnp.maximum(oh, 1.0)
-
-
-def _pack_contacts(prepped_contacts, metas):
-    """Per group, one (B, S*Pg) tensor: column-slice s holds one
-    (field, point, component) across the group's pairs; pure B-major
-    slices + a single stack."""
-    c = prepped_contacts
-    out = []
-    off = 0
-    for pg, kg, _a, _b, _ph in metas:
-        sl = slice(off, off + pg)
-        parts = []
-        for k in range(kg):
-            for f in VEC_FIELDS:
-                v = getattr(c, f)
-                for ci in range(3):
-                    parts.append(v[:, sl, k, ci])            # (B, Pg)
-        for k in range(kg):
-            for f in SCAL_FIELDS:
-                parts.append(getattr(c, f)[:, sl, k])
-        parts.append(c.inv_ma[:, sl])
-        parts.append(c.inv_mb[:, sl])
-        t = jnp.stack(parts, axis=1)                         # (B, S, Pg)
-        t = t.reshape(t.shape[0], -1)
-        pad = _round128(t.shape[1]) - t.shape[1]
-        if pad:
-            t = jnp.pad(t, ((0, 0), (0, pad)))
-        out.append(t)
-        off += pg
-    return out
-
-
 def _pack_joint(prep, vec_names, scal_names, extra):
     """(B, J*R) with column j*R + r (row order matching the kernel's
     _*_field_rows readers)."""
@@ -1008,119 +739,6 @@ def _pack_joint(prep, vec_names, scal_names, extra):
         rows.append(getattr(prep, name).astype(jnp.float32))
     t = jnp.stack(rows, axis=2)                  # (B, J, R)
     return t.reshape(t.shape[0], -1)
-
-
-def fused_solve_batched(scene, bodies, prepped, num_iterations, omega=1.0):
-    """Batched entry: all `bodies`/`prepped` leaves carry a leading batch
-    axis. Returns (v, w, contact_imp_n) batched."""
-    metas = _group_meta(scene)
-    joints = scene_joint_ab(scene)
-
-    B0 = bodies.v.shape[0]
-    bodies, prepped = _pad_batch_to_cb((bodies, prepped), B0)
-    B = bodies.v.shape[0]
-    nb = bodies.v.shape[1]            # includes the dummy row
-    n_chunks = B // CB
-
-    # ---- pack inputs (all batch-major) ------------------------------------
-    vw = jnp.concatenate([bodies.v, bodies.w], axis=-1)      # (B, N, 6)
-    vw = jnp.transpose(vw, (0, 2, 1)).reshape(B, 6 * nb)     # cols c*N+n
-    invm = bodies.inv_mass                                   # (B, N)
-    invI = jnp.transpose(bodies.inv_inertia.reshape(B, nb, 9),
-                         (0, 2, 1)).reshape(B, 9 * nb)       # cols i*N+n
-
-    c = prepped.contacts
-    # per-phase contact inverse degrees (sequential GS slices): cols p*N+n
-    phase_groups = phase_partition([m[4] for m in metas])
-    offs = np.cumsum([0] + [m[0] for m in metas])
-    invdeg_parts = []
-    for glist in phase_groups:
-        lo, hi = offs[glist[0]], offs[glist[-1] + 1]
-        invdeg_parts.append(
-            _inv_degrees(c.body_a[:, lo:hi], c.body_b[:, lo:hi], nb))
-    invdeg_con = jnp.concatenate(invdeg_parts, axis=1)       # (B, n_ph*N)
-    idg_joint = jnp.asarray(static_joint_invdeg(scene, nb))  # (6, N) const
-
-    con_ts = _pack_contacts(c, metas)
-
-    gats, scas = [], []
-    for pg, kg, ba, bb, _ph in metas:
-        gat = np.zeros((2 * pg, nb), np.float32)
-        gat[np.arange(pg), ba] = 1.0
-        gat[pg + np.arange(pg), bb] = 1.0
-        gats.append(jnp.asarray(gat))
-        scas.append(jnp.asarray(gat.T.copy()))
-
-    joint_ts = [pack_joint_type(name, getattr(prepped, name))
-                for name, _ab in joints]
-
-    # ---- pallas call ------------------------------------------------------
-    kernel = _make_kernel(metas, joints, nb, num_iterations, omega)
-
-    def bspec(cols):
-        return pl.BlockSpec((CB, cols), (lambda ch: (ch, 0)),
-                            memory_space=pltpu.VMEM)
-
-    def const_spec(shape):
-        nd = len(shape)
-        return pl.BlockSpec(shape, (lambda ch, _nd=nd: (0,) * _nd),
-                            memory_space=pltpu.VMEM)
-
-    in_specs = [bspec(6 * nb), bspec(nb), bspec(9 * nb),
-                bspec(len(phase_groups) * nb),
-                const_spec((len(JOINT_ORDER), nb))]
-    inputs = [vw, invm, invI, invdeg_con, idg_joint]
-    max_cols = 0
-    for g, (pg, kg, _a, _b, _ph) in enumerate(metas):
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
-        inputs.append(con_ts[g])
-        in_specs += [const_spec((2 * pg, nb)), const_spec((nb, 2 * pg))]
-        inputs += [gats[g], scas[g]]
-        max_cols = max(max_cols, _con_slices(pg, kg) * pg)
-    for (name, ab), t in zip(joints, joint_ts):
-        in_specs.append(bspec(len(ab) * joint_rows(name)))
-        inputs.append(t)
-
-    out_shapes = [jax.ShapeDtypeStruct((B, 6 * nb), jnp.float32)]
-    out_specs = [bspec(6 * nb)]
-    for pg, kg, _a, _b, _ph in metas:
-        out_shapes.append(jax.ShapeDtypeStruct((B, kg * pg), jnp.float32))
-        out_specs.append(bspec(kg * pg))
-
-    scratch_shapes = [
-        pltpu.VMEM((_round128(_con_slices(pg, kg) * pg), CB), jnp.float32)
-        for pg, kg, _a, _b, _ph in metas]
-    scratch_shapes.append(pltpu.VMEM((CB, _round128(max_cols)), jnp.float32))
-    scratch_shapes.append(pltpu.SemaphoreType.DMA)
-
-    interpret = jax.default_backend() != "tpu"
-    outs = pl.pallas_call(
-        kernel,
-        grid=(n_chunks,),
-        out_shape=tuple(out_shapes),
-        in_specs=in_specs,
-        out_specs=tuple(out_specs),
-        scratch_shapes=scratch_shapes,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
-        interpret=interpret,
-    )(*inputs)
-
-    vw_out = outs[0].reshape(B, 6, nb)                # cols c*N+n
-    vw_out = jnp.transpose(vw_out, (0, 2, 1))         # (B, N, 6)
-    v_new, w_new = vw_out[..., :3], vw_out[..., 3:]
-
-    # reassemble (B, P_total, 4) accumulated normal impulses
-    imps = []
-    for g, (pg, kg, _a, _b, _ph) in enumerate(metas):
-        x = outs[1 + g].reshape(B, kg, pg)
-        x = jnp.transpose(x, (0, 2, 1))               # (B, Pg, K)
-        if kg < 4:
-            x = jnp.pad(x, ((0, 0), (0, 0), (0, 4 - kg)))
-        imps.append(x)
-    imp_n = jnp.concatenate(imps, axis=1)
-    return (v_new[:B0], w_new[:B0], imp_n[:B0]) if B0 != B else (
-        v_new, w_new, imp_n)
 
 
 def _pad_batch_to_cb(tree, B):

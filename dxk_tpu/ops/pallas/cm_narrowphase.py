@@ -503,9 +503,10 @@ def _reduce_manifold_cm(verts, depths, n, normal):
         bv, bd = verts[0], depths[0]
         for k in range(1, S):
             sk = jnp.where(k < n, scores[k], NEG)
-            # first max wins, with the manifold.REDUCE_TIE_TOL margin so
-            # this port picks the same vertex as the AoS path on ties
-            upd = sk > bs + REDUCE_TIE_TOL
+            # first max wins, with the relative manifold.REDUCE_TIE_TOL
+            # margin so this port picks the same vertex as the AoS path
+            upd = sk > bs + (REDUCE_TIE_TOL * (jnp.abs(bs) + jnp.abs(sk))
+                             + 1e-9)
             bs = jnp.where(upd, sk, bs)
             bv = _where(upd, verts[k], bv)
             bd = jnp.where(upd, depths[k], bd)
@@ -625,8 +626,10 @@ def box_box_cm(ac, ah, aq, bc, bh, bq):
     best_s, n_local, fa, fb = cands[0][0], cands[0][1], one > zero, zero > one
     is_edge = zero > one
     for s, cn, c_fa, c_edge in cands[1:]:
-        # SAT_TIE_TOL tie-break — must match box_box_contact exactly.
-        upd = s < best_s - SAT_TIE_TOL
+        # relative SAT_TIE_TOL tie-break — must match box_box_contact
+        # exactly.
+        margin = SAT_TIE_TOL * (jnp.abs(best_s) + jnp.abs(s)) + 1e-9
+        upd = s < best_s - margin
         best_s = jnp.where(upd, s, best_s)
         n_local = _where(upd, cn, n_local)
         fa = (upd & c_fa) | (~upd & fa)

@@ -50,9 +50,9 @@ CM_RECIPES = {(0, 0), (0, 1), (0, 2), (0, 3),
 
 
 def fused2_eligible(scene) -> bool:
-    """Fused-pipeline eligibility: static tables, supported joints, no
-    heightfield/cloth contacts in the solve. Groups without a cm recipe
-    are fine (they ride the prep-passed path)."""
+    """Fused-pipeline eligibility: static (uncapped) pair tables and no
+    dynamic kselect broadphase. Groups without a cm recipe and heightfield
+    terrain contacts are fine — they ride the prep-passed path."""
     if scene.broadphase_k > 0:
         return False
     if not scene.pair_groups:
@@ -577,8 +577,8 @@ def _passed_fields_unbatched(metas, passed):
 
 
 def _pack_passed(prep_slice, pg, kg):
-    """(B, S*Pg)-packed prep for one prep-passed group (the
-    batched_solver._pack_contacts column layout)."""
+    """(B, S*Pg)-packed prep for one prep-passed group: (k, field, comp)-
+    major rows, pair minor (the layout _scratch_reader unpacks)."""
     from dxk_tpu.ops.pallas.batched_solver import SCAL_FIELDS, VEC_FIELDS
     c = prep_slice
     parts = []

@@ -309,32 +309,23 @@ def physics_step(scene: Scene, state: State, settings: PhysicsSettings,
     if tracker is not None:
         tracker.check("body_velocities", (bodies.v, bodies.w))
         tracker.check("constraint_prep", prepped)
-    fused = None
-    if settings.solver_mode == "fused":
-        from dxk_tpu.ops.pallas.batched_solver import (fused_eligible,
-                                                       make_fused_solver)
-        if fused_eligible(scene, prepped):
-            fused = make_fused_solver(
-                scene, settings.num_rigid_solver_iterations,
-                settings.sor_omega)
-    if fused is not None:
-        v, w, contact_imp_n = fused(bodies, prepped)
-        bodies = bodies.replace(v=v, w=w)
-    else:
-        mode = {"fused": "jacobi", "fused_seq": "scan"}.get(
-            settings.solver_mode, settings.solver_mode)
-        if (mode == "colored" and scene.pair_groups
-                and scene.num_contact_phases <= 1):
-            import warnings
-            warnings.warn(
-                "solver_mode='colored' on a scene finalized without "
-                "contact_phases>1: contacts degrade to averaged Jacobi. "
-                "Pass contact_phases=4 (or more) to SceneBuilder.finalize "
-                "for conflict-free Gauss-Seidel contact slices.",
-                stacklevel=2)
-        bodies, contact_imp_n = solve_constraints(
-            bodies, prepped, settings.num_rigid_solver_iterations,
-            mode, settings.sor_omega)
+    # "fused"/"fused_seq" on an ineligible scene (kselect/capped tables)
+    # degrade to their XLA-semantics equivalents; the eligible case
+    # returned through _physics_step_fused above
+    mode = {"fused": "jacobi", "fused_seq": "scan"}.get(
+        settings.solver_mode, settings.solver_mode)
+    if (mode == "colored" and scene.pair_groups
+            and scene.num_contact_phases <= 1):
+        import warnings
+        warnings.warn(
+            "solver_mode='colored' on a scene finalized without "
+            "contact_phases>1: contacts degrade to averaged Jacobi. "
+            "Pass contact_phases=4 (or more) to SceneBuilder.finalize "
+            "for conflict-free Gauss-Seidel contact slices.",
+            stacklevel=2)
+    bodies, contact_imp_n = solve_constraints(
+        bodies, prepped, settings.num_rigid_solver_iterations,
+        mode, settings.sor_omega)
     if tracker is not None:
         tracker.check("solved_velocities", (bodies.v, bodies.w))
 
@@ -476,6 +467,13 @@ def _physics_step_fused(scene, state, settings, dt, controls, tracker,
         new_state = new_state.replace(cloth=cloth_step(
             scene.cloth, state.cloth, settings, scene.global_ff_force, dt))
 
+    # hf pseudo-group rows have no collider pair: pad with (-1, -1) so
+    # contact_pairs stays index-aligned with contact_mask/contact_impulse
+    # (same contract as the XLA path's hf block)
+    if scene.heightfield is not None:
+        hf_rows = scene.colliders.ctype.shape[0]
+        static_pairs = static_pairs + [
+            jnp.full((hf_rows, 2), -1, jnp.int32)]
     contact_pairs = jnp.concatenate(static_pairs) if static_pairs else None
     n_live = jnp.sum(live.astype(jnp.int32))
     info = StepInfo(

@@ -51,11 +51,16 @@ class NotIslandizable(ValueError):
 class IslandMap:
     """sub_scene: the representative island Scene (nbl bodies + dummy);
     body_map: (I, nbl) int32 global body index per island-local slot
-    (global dummy for padding)."""
+    (global dummy for padding); *_ctrl_map: (I, Jl) int32 global joint
+    index per island-local joint, for the control-bearing types — gather
+    uses them to slice the caller's MotorControls into island space."""
 
     sub_scene: Scene = struct.field(pytree_node=False)
     body_map: jnp.ndarray = None     # (I, nbl) int32
     num_islands: int = struct.field(pytree_node=False, default=0)
+    hinge_ctrl_map: jnp.ndarray = None      # (I, Jh) int32 or None
+    ct_ctrl_map: jnp.ndarray = None         # (I, Jc) int32 or None
+    slider_ctrl_map: jnp.ndarray = None     # (I, Js) int32 or None
 
     def gather(self, state):
         """(N+1, ...) per-body state -> (I, nbl+1, ...). The local dummy row
@@ -71,11 +76,36 @@ class IslandMap:
             lin_vel=take(state.lin_vel), ang_vel=take(state.ang_vel),
             force_acc=take(state.force_acc),
             torque_acc=take(state.torque_acc),
-            controls=(jax.tree_util.tree_map(
-                lambda x: jnp.broadcast_to(x, (self.num_islands, *x.shape)),
-                self.sub_scene.default_controls)
-                if state.controls is not None else None),
+            controls=self._gather_controls(state.controls),
             cloth=None)
+
+    def _gather_controls(self, controls):
+        """Slice the caller's full-scene MotorControls into (I, Jl) island
+        space via the per-island joint maps (each island keeps its own
+        global joints; identical topology guarantees equal counts)."""
+        if controls is None:
+            return None
+
+        def tk(arr, cmap):
+            if cmap is None:
+                return jnp.broadcast_to(arr[:0], (self.num_islands, 0))
+            return arr[cmap]
+
+        c = controls
+        return MotorControls(
+            hinge_motor_type=tk(c.hinge_motor_type, self.hinge_ctrl_map),
+            hinge_target=tk(c.hinge_target, self.hinge_ctrl_map),
+            hinge_max_torque=tk(c.hinge_max_torque, self.hinge_ctrl_map),
+            ct_swing_motor_type=tk(c.ct_swing_motor_type, self.ct_ctrl_map),
+            ct_swing_target=tk(c.ct_swing_target, self.ct_ctrl_map),
+            ct_swing_axis_angle=tk(c.ct_swing_axis_angle, self.ct_ctrl_map),
+            ct_swing_max_torque=tk(c.ct_swing_max_torque, self.ct_ctrl_map),
+            ct_twist_motor_type=tk(c.ct_twist_motor_type, self.ct_ctrl_map),
+            ct_twist_target=tk(c.ct_twist_target, self.ct_ctrl_map),
+            ct_twist_max_torque=tk(c.ct_twist_max_torque, self.ct_ctrl_map),
+            slider_motor_type=tk(c.slider_motor_type, self.slider_ctrl_map),
+            slider_target=tk(c.slider_target, self.slider_ctrl_map),
+            slider_max_force=tk(c.slider_max_force, self.slider_ctrl_map))
 
     def scatter(self, island_state, template_state):
         """(I, nbl+1, ...) -> (N+1, ...): write island rows back into a
@@ -354,6 +384,25 @@ def islandize(scene: Scene, strict_params: bool = True) -> IslandMap:
     jc, kc = joint_slice("cone_twist")
     js, ks = joint_slice("slider")
 
+    def ctrl_map_for(name):
+        """(I, Jl) global joint index per island-local joint (the joint
+        signature check above guarantees equal counts and corresponding
+        order across islands)."""
+        j = getattr(scene, name)
+        if j is None:
+            return None
+        rows = []
+        for ii in range(n_isl):
+            m = g2l[ii]
+            keep = [ji for ji, (a, b2) in enumerate(
+                        zip(_np(j.body_a), _np(j.body_b)))
+                    if int(a) in m and int(b2) in m and (
+                        isl_of[int(a)] == ii or isl_of[int(b2)] == ii)]
+            rows.append(keep)
+        if not rows[0]:
+            return None
+        return jnp.asarray(np.asarray(rows, np.int32))
+
     c = scene.default_controls
     sub_controls = None
     if c is not None:
@@ -392,4 +441,7 @@ def islandize(scene: Scene, strict_params: bool = True) -> IslandMap:
         init_rot=jnp.asarray(_np(scene.init_rot)[init_map]))
 
     body_map = jnp.asarray(np.asarray(islands, np.int32))
-    return IslandMap(sub_scene=sub, body_map=body_map, num_islands=n_isl)
+    return IslandMap(sub_scene=sub, body_map=body_map, num_islands=n_isl,
+                     hinge_ctrl_map=ctrl_map_for("hinge"),
+                     ct_ctrl_map=ctrl_map_for("cone_twist"),
+                     slider_ctrl_map=ctrl_map_for("slider"))

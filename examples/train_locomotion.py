@@ -35,9 +35,10 @@ def main():
                     help="torso x-velocity target in m/s (DReCon vcm term, "
                          "learned_locomotion.cpp:345); 0 = standing task")
     ap.add_argument("--curriculum-stages", type=int, default=0,
-                    help="N>0 ramps the walk target 0 -> walk-target over N "
-                         "equal stages of the run (env re-jits per stage); "
-                         "the standing skill bootstraps the gait")
+                    help="N>0 ramps the walk target to walk-target over N "
+                         "equal stages of THIS run (stage 1 trains at "
+                         "walk-target/N; env re-jits per stage; a resumed "
+                         "run restarts the ramp)")
     ap.add_argument("--ckpt-dir", default="/tmp/dxk_loco_ckpt")
     ap.add_argument("--csv", default="/tmp/dxk_loco_train.csv")
     ap.add_argument("--resume", action="store_true")
@@ -89,7 +90,7 @@ def main():
         print(f"resumed params from step {start}")
 
     t0 = time.time()
-    cur_target = target_for(start)
+    cur_target = target_for(0)
     for i in range(start, start + args.iters):
         t = target_for(i - start)
         if t != cur_target:

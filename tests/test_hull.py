@@ -98,3 +98,54 @@ def test_ray_hull_exact():
                         h.vertex_mask[0], h.face_normals[0],
                         h.face_offsets[0], h.face_mask[0])
     assert not bool(hit2)
+
+
+def test_hull_hull_multicontact_flat_faces():
+    """Two cube hulls stacked face-on-face must produce a >=2-point
+    manifold (exceeds the reference, whose hull-hull emits one EPA point
+    and leaves the manifold as a TODO, collision_narrow.cpp:1558-1584)."""
+    from dxk_tpu.ops.narrowphase import hull_hull_contact
+
+    cube = np.array([[sx * 0.5, sy * 0.5, sz * 0.5]
+                     for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+                    np.float32)
+    Vmax = 8
+    verts = jnp.asarray(cube)
+    mask = jnp.ones((Vmax,), bool)
+    idq = jnp.asarray([0.0, 0.0, 0.0, 1.0])
+
+    # B sits on top of A with 2 cm penetration, slight xz offset
+    pts, dps, nrm, cnt, hit = hull_hull_contact(
+        jnp.asarray([0.0, 0.0, 0.0]), idq, verts, mask,
+        jnp.asarray([0.12, 0.98, 0.07]), idq, verts, mask)
+    assert bool(hit)
+    assert int(cnt) >= 2, int(cnt)
+    # normal along +y (A -> B), contact points near the interface plane
+    assert abs(float(nrm[1])) > 0.95
+    live = np.asarray(pts)[:int(cnt)]
+    assert np.all(np.abs(live[:, 1] - 0.5) < 0.05)
+    # manifold spans an area (not coincident points)
+    assert np.ptp(live[:, 0]) > 0.2 or np.ptp(live[:, 2]) > 0.2
+
+
+def test_hull_hull_vertex_contact_stays_single():
+    """Corner-on-face contact keeps the single EPA point."""
+    from dxk_tpu.core.maths import quat_from_axis_angle
+    from dxk_tpu.ops.narrowphase import hull_hull_contact
+
+    cube = np.array([[sx * 0.5, sy * 0.5, sz * 0.5]
+                     for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+                    np.float32)
+    verts = jnp.asarray(cube)
+    mask = jnp.ones((8,), bool)
+    idq = jnp.asarray([0.0, 0.0, 0.0, 1.0])
+    # rotate B 45 deg about x and z so a corner points down
+    qx = quat_from_axis_angle(jnp.asarray([1.0, 0.0, 0.0]), 0.955)
+    qz = quat_from_axis_angle(jnp.asarray([0.0, 0.0, 1.0]), 0.785)
+    from dxk_tpu.core.maths import quat_mul
+    q = quat_mul(qz, qx)
+    pts, dps, nrm, cnt, hit = hull_hull_contact(
+        jnp.asarray([0.0, 0.0, 0.0]), idq, verts, mask,
+        jnp.asarray([0.0, 1.30, 0.0]), q, verts, mask)
+    assert bool(hit)
+    assert int(cnt) == 1, int(cnt)

@@ -552,8 +552,9 @@ def capsule_box_contact(aa, ab, ar, bc, bh, bq):
 
 
 def cylinder_box_contact(aa, ab, ar, bc, bh, bq):
-    """collision_narrow.cpp:953-1043: like capsule-box; the cap-face case is
-    left as a single EPA contact (reference TODO at 1015-1018)."""
+    """collision_narrow.cpp:953-1043: like capsule-box. The reference's
+    cap-face case is a single EPA contact with a stability TODO (1015-1018);
+    here it gets a 4-point ring on the cap rim."""
     la = quat_inv_rotate(bq, aa - bc)
     lb = quat_inv_rotate(bq, ab - bc)
     cyl = (la, lb, ar)
@@ -575,6 +576,21 @@ def cylinder_box_contact(aa, ab, ar, bc, bh, bq):
     pts = jnp.where(use, e_pts, pts1)
     dps = jnp.where(use, e_dps, dps1)
     cnt = jnp.where(use, e_count, cnt1)
+
+    # cap flat on a box face: 4-point rim ring (one EPA point lets an
+    # upright cylinder tip through the floor — reference TODO 1015-1018)
+    cap_case = is_face & (cos_angle > 0.99)
+    cap_c = jnp.where(dot(la, normal) > dot(lb, normal), la, lb)
+    t1c, t2c = get_tangents(normal)
+    rr = ar * 0.95
+    ring = (jnp.zeros((4, 3), la.dtype)
+            .at[0].set(cap_c + t1c * rr)
+            .at[1].set(cap_c - t1c * rr)
+            .at[2].set(cap_c + t2c * rr)
+            .at[3].set(cap_c - t2c * rr))
+    pts = jnp.where(cap_case, ring, pts)
+    dps = jnp.where(cap_case, jnp.full((4,), 1.0, la.dtype) * depth, dps)
+    cnt = jnp.where(cap_case, 4, cnt)
 
     pts = quat_rotate(bq[None, :], pts) + bc
     nrm = quat_rotate(bq, normal)
@@ -625,15 +641,43 @@ def cylinder_cylinder_contact(aa, ab, ar, ba, bb, br):
     pts2 = jnp.zeros((4, 3), aa.dtype).at[0].set((ca0 + cb0) * 0.5).at[1].set((ca1 + cb1) * 0.5)
     dps2 = jnp.zeros((4,), aa.dtype).at[0].set(pen).at[1].set(pen)
 
-    # cap-to-cap single point
-    pts1c = jnp.zeros((4, 3), aa.dtype).at[0].set(cap_point)
-    dps1c = jnp.zeros((4,), aa.dtype).at[0].set(cap_pen)
+    # cap-to-cap: 4-point ring on the inscribed circle of the cap-disk
+    # intersection lens (the reference emits ONE point and leaves a
+    # "TODO: Find stable contact manifold", collision_narrow.cpp:883 —
+    # a single cap contact lets stacked cylinders tip through each other)
+    lat = nvec - dot(nvec, a_dir)[..., None] * a_dir
+    dl = length(lat)
+    lat_dir = jnp.where(dl[..., None] > EPSILON,
+                        lat / jnp.maximum(dl, 1e-30)[..., None],
+                        get_tangents(a_dir)[0])
+    # disk-intersection chord along the center line: [lo, hi] from A's
+    # cap center; ring = circle on its midpoint (exact for concentric and
+    # crossing disks; transversally conservative like the rim bias)
+    lo = jnp.maximum(-ar, dl - br)
+    hi = jnp.minimum(ar, dl + br)
+    re = jnp.maximum(0.5 * (hi - lo), 0.0)
+    c_off = 0.5 * (lo + hi)
+    ring_c = cap_point + lat_dir * c_off[..., None]
+    t1 = lat_dir
+    t2 = cross(cap_normal, t1)
+    pts1c = (jnp.zeros((4, 3), aa.dtype)
+             .at[0].set(ring_c + t1 * re)
+             .at[1].set(ring_c - t1 * re)
+             .at[2].set(ring_c + t2 * re)
+             .at[3].set(ring_c - t2 * re))
+    dps1c = jnp.full((4,), 1.0, aa.dtype) * cap_pen
+    ring_ok = re > EPSILON
+    pts1c = jnp.where(ring_ok, pts1c,
+                      jnp.zeros((4, 3), aa.dtype).at[0].set(cap_point))
+    dps1c = jnp.where(ring_ok, dps1c,
+                      jnp.zeros((4,), aa.dtype).at[0].set(cap_pen))
+    cap_cnt = jnp.where(ring_ok, 4, 1)
 
     par_hit = overlaps & radial_hit
     p_pts = jnp.where(cap_first, pts1c, pts2)
     p_dps = jnp.where(cap_first, dps1c, dps2)
     p_nrm = jnp.where(cap_first, cap_normal, t_normal)
-    p_cnt = jnp.where(cap_first, 1, 2)
+    p_cnt = jnp.where(cap_first, cap_cnt, 2)
     p_cnt = jnp.where(par_hit, p_cnt, 0)
 
     # non-parallel: GJK+EPA

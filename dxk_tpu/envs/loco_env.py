@@ -253,11 +253,26 @@ class LocoEnv:
     def has_fallen(self, state: State):
         return self._head_height(state) < FALL_HEAD_HEIGHT
 
-    def reward(self, state: State) -> jnp.ndarray:
-        """getReward (learned_locomotion.cpp:329-357)."""
+    def reward(self, state: State, t=0.0) -> jnp.ndarray:
+        """getReward (learned_locomotion.cpp:329-357).
+
+        `t` is the episode time in seconds. With a non-zero walk target the
+        reference pose GLIDES forward at the target velocity (DReCon's clip
+        root motion: the kinematic reference translates with the locomotion
+        command; the reference engine gets this from its mocap clips). The
+        world-anchored standing targets otherwise pin the policy in place —
+        pos_err grows without bound for any policy that actually walks, so
+        standing always dominates. With t*v_target translation, rp/rv reward
+        *following* the moving reference; gait emerges because feet cannot
+        glide on a friction ground. Exactly the standing reward when
+        torso_velocity_target == 0 (t * 0 == 0)."""
         tp, tv, tr = self._body_part_targets(state)
-        pos_err = jnp.sum(jnp.linalg.norm(tp - self.target_positions, axis=-1))
-        vel_err = jnp.sum(jnp.linalg.norm(tv - self.target_velocities, axis=-1))
+        drift = self.torso_velocity_target * t
+        pos_err = jnp.sum(jnp.linalg.norm(
+            tp - (self.target_positions + drift), axis=-1))
+        vel_err = jnp.sum(jnp.linalg.norm(
+            tv - (self.target_velocities + self.torso_velocity_target),
+            axis=-1))
         rot_diff = quat_mul(self.target_local_rotations, quat_conj(tr))
         rot_err = jnp.sum(2.0 * jnp.arccos(jnp.clip(rot_diff[..., 3], -1.0, 1.0)))
 
@@ -311,7 +326,8 @@ class LocoEnv:
 
         obs = self._observe(state, smoothed)
         done = self.has_fallen(state)
-        reward = jnp.where(done, 0.0, self.reward(state))
+        t = (env.steps + 1).astype(jnp.float32) * DT
+        reward = jnp.where(done, 0.0, self.reward(state, t))
 
         next_env = EnvState(physics=state, smoothed_action=smoothed, rng=rng,
                             steps=env.steps + 1)

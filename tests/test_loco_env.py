@@ -96,5 +96,34 @@ class TestLocoEnv:
         assert np.all(np.isfinite(np.asarray(obs)))
 
 
+class TestWalkTarget:
+    def test_gliding_reference_decays_for_standing(self):
+        """With a walk target the reference pose glides at the target
+        velocity (DReCon root motion), so a policy that stands still must
+        see decaying reward — the world-anchored variant rewarded standing
+        forever, which is why --walk-target converged to a stand."""
+        env = LocoEnv(solver_iterations=8, solver_mode="jacobi",
+                      enable_pokes=False,
+                      torso_velocity_target=(1.0, 0.0, 0.0))
+        st, _ = env.reset(jax.random.PRNGKey(0))
+        step = jax.jit(env.step)
+        rs = []
+        for _ in range(12):
+            st, _, r, _ = step(st, jnp.zeros((27,)))
+            rs.append(float(r))
+        assert all(np.isfinite(rs))
+        assert rs[-1] < rs[1] - 0.2     # gliding targets leave a stander
+
+    def test_zero_target_exactly_standing_reward(self):
+        """torso_velocity_target=0 must reproduce the reference's standing
+        reward bit-for-bit (t * 0 == 0 drift)."""
+        env = LocoEnv(solver_iterations=8, solver_mode="jacobi",
+                      enable_pokes=False)
+        st, _ = env.reset(jax.random.PRNGKey(0))
+        r0 = float(env.reward(st.physics))
+        r_t = float(env.reward(st.physics, t=7.5))
+        assert r0 == r_t
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])

@@ -67,9 +67,13 @@ CB = 128          # envs per grid chunk (one full vreg of lanes)
 TYPE_MAX_POINTS = {
     (0, 0): 1, (0, 1): 1, (0, 2): 1, (0, 3): 1, (0, 4): 1,
     (1, 1): 2, (1, 2): 2, (1, 3): 2, (1, 4): 1,
-    (2, 2): 2, (2, 3): 2, (2, 4): 1,
+    # cylinder pairs emit 4-point cap rings (cap-on-cap / cap-on-face,
+    # narrowphase.cylinder_{cylinder,box}_contact) — K=2 would silently
+    # truncate the ring in the fused prep-passed path (_pack_passed)
+    (2, 2): 4, (2, 3): 4, (2, 4): 1,
     (3, 3): 4, (3, 4): 1,
-    (4, 4): 1,
+    # hull-hull emits a clipped <=4-point manifold (hull_hull_contact)
+    (4, 4): 4,
 }
 
 VEC_FIELDS = ("rel_a", "rel_b", "normal", "tangent",

@@ -80,6 +80,27 @@ class TestFusedMatchesJacobi:
         assert float(jnp.abs(ja.pos - fu.pos).max()) < 1e-6
         assert float(jnp.abs(ja.lin_vel - fu.lin_vel).max()) < 1e-4
 
+    def test_cylinder_cap_ring_not_truncated(self):
+        """Cylinder pairs emit 4-point cap rings; TYPE_MAX_POINTS must
+        reserve 4 prep-passed rows or fused mode silently drops half the
+        ring (_pack_passed packs only K slots) and an upright cylinder
+        tips where jacobi keeps it standing."""
+        from dxk_tpu.ops.pallas.batched_solver import TYPE_MAX_POINTS
+        assert TYPE_MAX_POINTS[(2, 3)] == 4
+        assert TYPE_MAX_POINTS[(2, 2)] == 4
+        assert TYPE_MAX_POINTS[(4, 4)] == 4
+        b = SceneBuilder()
+        g = b.add_static()
+        b.add_box_collider(g, (0, -1, 0), (20, 1, 20))
+        cyl = b.add_body(position=(0, 0.62, 0))
+        b.add_cylinder_collider(cyl, (0, -0.6, 0), (0, 0.6, 0), 0.4)
+        scene = b.finalize()
+        st = _batched_state(scene)
+        ja = _run(scene, st, "jacobi", 1, 10)
+        fu = _run(scene, st, "fused", 1, 10)
+        assert float(jnp.abs(ja.lin_vel - fu.lin_vel).max()) < 1e-6
+        assert float(jnp.abs(ja.ang_vel - fu.ang_vel).max()) < 1e-6
+
     def test_unbatched_falls_back(self):
         """Unbatched call must work (custom_vmap fallback = jacobi)."""
         scene = _scene()

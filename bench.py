@@ -111,7 +111,8 @@ def _box_towers(num_boxes):
 
 
 def bench_box_stack(num_boxes, batch, steps, iters_timed, solver_iterations,
-                    solver_mode="fused_islands"):
+                    solver_mode="fused_islands", contact_phases=4,
+                    candidate_margin=1.0):
     """solver_mode='fused_islands' (default): build-time candidate-margin
     pruning -> island decomposition (64 towers -> 64 lane-batch elements,
     dxk_tpu/scene/islands.py) -> the whole contact pipeline (box-box SAT+
@@ -122,7 +123,8 @@ def bench_box_stack(num_boxes, batch, steps, iters_timed, solver_iterations,
     b, n = _box_towers(num_boxes)
     if solver_mode == "fused_islands":
         from dxk_tpu.scene.islands import islandize
-        scene = b.finalize(contact_phases=4, candidate_margin=1.0)
+        scene = b.finalize(contact_phases=contact_phases,
+                           candidate_margin=candidate_margin)
         im = islandize(scene)
         settings = PhysicsSettings(
             num_rigid_solver_iterations=solver_iterations,

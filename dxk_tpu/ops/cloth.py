@@ -15,10 +15,132 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from dxk_tpu.core.maths import cross, dot, normalize, squared_length
+import numpy as np
+
+from dxk_tpu.core.maths import (cross, dot, normalize, quat_conj,
+                                quat_rotate, squared_length)
 from dxk_tpu.scene.scene import ClothParams, ClothState
 
 GRAVITY = -9.81
+
+
+def _particle_collider_sdf(w, hulls, p):
+    """Signed distance + outward unit normal from every collider to every
+    particle. p: (P, 3); returns sd (C, P) and n (C, P, 3).
+
+    Exact SDFs for sphere/capsule/cylinder/box; hulls use the max over
+    face planes (exact inside and near faces, an underestimate in edge/
+    vertex Voronoi regions — conservative for a thin contact shell)."""
+    pe = p[None, :, :]                           # (1, P, 3)
+    a = w.a[:, None, :]                          # (C, 1, 3)
+    b = w.b[:, None, :]
+    r = w.r[:, None]
+    q = w.rot[:, None, :]
+    ct = np.asarray(w.ctype)[:, None]            # static per scene
+
+    eps = 1e-12
+    # w.b is a world segment endpoint ONLY for capsules/cylinders
+    # (world_colliders keeps half-extents for boxes, zeros for spheres)
+    is_seg = np.isin(np.asarray(w.ctype), (1, 2))[:, None]
+    b_seg = jnp.where(is_seg[..., None], b, a)
+    ab = b_seg - a
+    ab_sq = jnp.maximum(jnp.sum(ab * ab, -1), eps)
+    t01 = jnp.clip(jnp.sum((pe - a) * ab, -1) / ab_sq, 0.0, 1.0)
+    seg = a + ab * t01[..., None]
+    d_seg = pe - seg
+    dist_seg = jnp.sqrt(jnp.maximum(jnp.sum(d_seg * d_seg, -1), eps))
+    sd_sphcap = dist_seg - r
+    n_sphcap = d_seg / dist_seg[..., None]
+
+    # cylinder: radial/axial SDF (flat caps)
+    length = jnp.sqrt(ab_sq)
+    u = ab / length[..., None]
+    t_raw = jnp.sum((pe - a) * u, -1)
+    radial = (pe - a) - u * t_raw[..., None]
+    rd = jnp.sqrt(jnp.maximum(jnp.sum(radial * radial, -1), eps))
+    dxx = rd - r                                  # radial excess
+    dyy = jnp.maximum(-t_raw, t_raw - length)     # axial excess
+    out_x = jnp.maximum(dxx, 0.0)
+    out_y = jnp.maximum(dyy, 0.0)
+    sd_cyl = (jnp.minimum(jnp.maximum(dxx, dyy), 0.0)
+              + jnp.sqrt(out_x * out_x + out_y * out_y))
+    rad_dir = radial / rd[..., None]
+    cap_dir = u * jnp.where(t_raw > 0.5 * length, 1.0, -1.0)[..., None]
+    n_out = (rad_dir * out_x[..., None] + cap_dir * out_y[..., None])
+    n_out = n_out / jnp.sqrt(jnp.maximum(
+        jnp.sum(n_out * n_out, -1, keepdims=True), eps))
+    n_in = jnp.where((dxx > dyy)[..., None], rad_dir, cap_dir)
+    n_cyl = jnp.where((sd_cyl > 0.0)[..., None], n_out, n_in)
+
+    # box: local-frame SDF (b = half extents)
+    pl = quat_rotate(quat_conj(q), pe - a)
+    qv = jnp.abs(pl) - b
+    m = jnp.maximum(qv, 0.0)
+    od = jnp.sqrt(jnp.maximum(jnp.sum(m * m, -1), eps))
+    mi = jnp.minimum(jnp.max(qv, -1), 0.0)
+    sd_box = jnp.where(jnp.all(qv <= 0.0, -1), mi, od)
+    sgn = jnp.where(pl >= 0.0, 1.0, -1.0)
+    face = (qv >= jnp.max(qv, -1, keepdims=True) - 1e-9).astype(pl.dtype)
+    nl = jnp.where((sd_box > 0.0)[..., None], m * sgn / od[..., None],
+                   normalize(face * sgn + 1e-30))
+    n_box = quat_rotate(q, nl)
+
+    sd = jnp.where(ct <= 1, sd_sphcap,
+                   jnp.where(ct == 2, sd_cyl, sd_box))
+    n = jnp.where((ct <= 1)[..., None], n_sphcap,
+                  jnp.where((ct == 2)[..., None], n_cyl, n_box))
+
+    if hulls is not None and (np.asarray(w.ctype) == 4).any():
+        hid = np.maximum(np.asarray(w.hull_id), 0)
+        fn = hulls.face_normals[hid][:, None]    # (C, 1, F, 3)
+        fo = hulls.face_offsets[hid][:, None]    # (C, 1, F)
+        fm = hulls.face_mask[hid][:, None]
+        sd_f = jnp.sum(fn * pl[:, :, None, :], -1) + fo
+        sd_f = jnp.where(fm, sd_f, -3.4e38)
+        sd_hull = jnp.max(sd_f, -1)
+        best = (sd_f >= sd_hull[..., None] - 1e-9).astype(pl.dtype)
+        n_hull = quat_rotate(q, normalize(
+            jnp.sum(fn * best[..., None], -2) + 1e-30))
+        sd = jnp.where(ct == 4, sd_hull, sd)
+        n = jnp.where((ct == 4)[..., None], n_hull, n)
+    return sd, n
+
+
+def collide_particles(params: ClothParams, world, hulls, heightfield,
+                      pos, vel):
+    """One-way cloth-vs-rigid collision: project penetrating particles out
+    of every collider (deepest first) and the heightfield, and remove the
+    approaching normal velocity. The reference has NO cloth-rigid
+    collision (cloth.cpp never queries colliders) — this exceeds parity.
+    One-way: rigid bodies do not feel the cloth."""
+    th = params.thickness
+    free = params.inv_masses > 0.0
+
+    push = jnp.zeros_like(pos)
+    normal = jnp.zeros_like(pos)
+    depth = jnp.zeros(pos.shape[0], pos.dtype)
+    if world is not None and world.a.shape[0] > 0:
+        sd, n = _particle_collider_sdf(world, hulls, pos)
+        dep = th[None, :] - sd                    # (C, P)
+        ci = jnp.argmax(dep, axis=0)
+        depth = jnp.max(dep, axis=0)
+        normal = jnp.take_along_axis(n, ci[None, :, None], axis=0)[0]
+
+    if heightfield is not None:
+        from dxk_tpu.ops.heightmap import height_at
+        hdep = th - (pos[:, 1] - height_at(heightfield, pos[:, 0], pos[:, 2]))
+        up = jnp.zeros_like(pos).at[:, 1].set(1.0)
+        use_h = hdep > depth
+        depth = jnp.where(use_h, hdep, depth)
+        normal = jnp.where(use_h[:, None], up, normal)
+
+    hit = (depth > 0.0) & free
+    push = jnp.where(hit[:, None], normal * depth[:, None], 0.0)
+    pos = pos + push
+    vn = jnp.sum(normal * vel, -1)
+    vel = jnp.where(hit[:, None], vel - normal * jnp.minimum(vn, 0.0)[:, None],
+                    vel)
+    return pos, vel
 
 
 def apply_wind_force(params: ClothParams, state: ClothState, force):
@@ -75,8 +197,10 @@ def _solve_velocities_scan(params, velocities, gradients, inv_scaled_grad_sq):
 
 
 def cloth_step(params: ClothParams, state: ClothState, settings,
-               wind_force, dt) -> ClothState:
-    """simulate (cloth.cpp:180-286)."""
+               wind_force, dt, world=None, hulls=None,
+               heightfield=None) -> ClothState:
+    """simulate (cloth.cpp:180-286) + optional cloth-vs-rigid collision
+    (particles with thickness > 0; see collide_particles)."""
     state = apply_wind_force(params, state, wind_force)
 
     inv_mass = params.inv_masses
@@ -110,6 +234,12 @@ def cloth_step(params: ClothParams, state: ClothState, settings,
         for _ in range(settings.num_cloth_drift_iterations):
             pos = _solve_positions_scan(params, pos)
         vel = vel + (pos - drift_prev) * inv_dt
+
+    if (params.thickness is not None
+            and float(np.asarray(params.thickness).max()) > 0.0
+            and (world is not None or heightfield is not None)):
+        pos, vel = collide_particles(params, world, hulls, heightfield,
+                                     pos, vel)
 
     vel = vel * (1.0 / (1.0 + dt * params.damping))[:, None]
     return ClothState(positions=pos, prev_positions=prev, velocities=vel,

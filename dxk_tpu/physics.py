@@ -334,11 +334,12 @@ def physics_step(scene: Scene, state: State, settings: PhysicsSettings,
     if tracker is not None:
         tracker.check("integrated_state", (new_state.pos, new_state.rot))
 
-    # 8: cloth
+    # 8: cloth (w = this step's world colliders for cloth-vs-rigid pushout)
     if scene.cloth is not None and state.cloth is not None:
         from dxk_tpu.ops.cloth import cloth_step
         new_state = new_state.replace(cloth=cloth_step(
-            scene.cloth, state.cloth, settings, scene.global_ff_force, dt))
+            scene.cloth, state.cloth, settings, scene.global_ff_force, dt,
+            world=w, hulls=scene.hulls, heightfield=scene.heightfield))
 
     info = StepInfo(
         num_broadphase_overlaps=num_overlaps,
@@ -465,7 +466,8 @@ def _physics_step_fused(scene, state, settings, dt, controls, tracker,
     if scene.cloth is not None and state.cloth is not None:
         from dxk_tpu.ops.cloth import cloth_step
         new_state = new_state.replace(cloth=cloth_step(
-            scene.cloth, state.cloth, settings, scene.global_ff_force, dt))
+            scene.cloth, state.cloth, settings, scene.global_ff_force, dt,
+            world=w, hulls=scene.hulls, heightfield=scene.heightfield))
 
     # hf pseudo-group rows have no collider pair: pad with (-1, -1) so
     # contact_pairs stays index-aligned with contact_mask/contact_impulse

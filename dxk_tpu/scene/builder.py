@@ -413,7 +413,8 @@ class SceneBuilder:
 
     def add_cloth(self, width, height, grid_x, grid_y, total_mass,
                   stiffness=1.0, damping=0.5, gravity_factor=1.0,
-                  transform_pos=(0, 0, 0), transform_rot=(0, 0, 0, 1)):
+                  transform_pos=(0, 0, 0), transform_rot=(0, 0, 0, 1),
+                  thickness=0.0):
         """Grid cloth with the reference's constraint topology and particle
         layout (cloth.cpp:7-80, 124-130). Top row (y==0) is pinned.
 
@@ -427,7 +428,7 @@ class SceneBuilder:
             width=width, height=height, grid_x=grid_x,
             grid_y=grid_y, total_mass=total_mass,
             stiffness=stiffness, damping=damping,
-            gravity_factor=gravity_factor,
+            gravity_factor=gravity_factor, thickness=thickness,
             pos=np.asarray(transform_pos, np.float64),
             rot=np.asarray(transform_rot, np.float64)))
         return len(self._cloths) - 1
@@ -926,7 +927,8 @@ def _bake_cloth(spec: dict, dtype) -> ClothParams:
         init_positions=jnp.asarray(positions.astype(dtype)),
         triangles=jnp.asarray(np.asarray(tris, np.int32)),
         gravity_factor=jnp.full((n,), float(spec["gravity_factor"]), dtype),
-        damping=jnp.full((n,), float(spec["damping"]), dtype))
+        damping=jnp.full((n,), float(spec["damping"]), dtype),
+        thickness=jnp.full((n,), float(spec.get("thickness", 0.0)), dtype))
 
 
 def _merge_cloths(parts: list) -> ClothParams:
@@ -953,7 +955,8 @@ def _merge_cloths(parts: list) -> ClothParams:
         init_positions=cat("init_positions"),
         triangles=jnp.asarray(_np.concatenate(tris, axis=0)),
         gravity_factor=cat("gravity_factor"),
-        damping=cat("damping"))
+        damping=cat("damping"),
+        thickness=cat("thickness"))
 
 
 def _np_quat_rotate_batch(q, vs):

@@ -195,6 +195,10 @@ class ClothParams:
     triangles: jnp.ndarray = None        # (T, 3) int32 for wind force
     gravity_factor: jnp.ndarray = None   # (P,) per-particle (per cloth)
     damping: jnp.ndarray = None          # (P,)
+    # particle collision radius vs rigid colliders + heightfield; 0 = no
+    # collision (cloth-vs-rigid is absent in the reference — cloth.cpp has
+    # no collider queries — this exceeds parity; one-way coupling)
+    thickness: jnp.ndarray = None        # (P,)
 
 
 @struct.dataclass

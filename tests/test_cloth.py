@@ -105,3 +105,46 @@ class TestMultiCloth:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+class TestClothRigidCollision:
+    """Cloth-vs-rigid pushout (collide_particles). The reference has NO
+    cloth-rigid collision (cloth.cpp never queries colliders) — this
+    exceeds parity, so the oracle is geometric: particles with thickness
+    stay outside colliders where the zero-thickness cloth passes through."""
+
+    def _scene(self, thickness):
+        b = SceneBuilder()
+        g = b.add_static(position=(0.0, 1.5, 0.0))
+        b.add_sphere_collider(g, (0, 0, 0), 0.8)
+        b.add_cloth(width=2.0, height=2.0, grid_x=8, grid_y=8,
+                    total_mass=1.0, transform_pos=(0, 3, 0),
+                    thickness=thickness)
+        return b.finalize()
+
+    def _drape_dmin(self, scene, steps=600):
+        """Min distance of any free particle to the sphere center over the
+        whole trajectory (the hanging sheet swings like a pendulum, so a
+        single-step snapshot is flaky)."""
+        state = scene.initial_state()
+        step = jax.jit(lambda s: physics_step(scene, s, PhysicsSettings(),
+                                              1 / 120)[0])
+        c = np.array([0.0, 1.5, 0.0])
+        dmin = np.inf
+        for i in range(steps):
+            state = step(state)
+            if i % 10 == 0:
+                p = np.asarray(state.cloth.positions)
+                assert np.all(np.isfinite(p))
+                d = np.linalg.norm(p[8:] - c, axis=-1)   # top row pinned
+                dmin = min(dmin, float(d.min()))
+        return dmin
+
+    def test_drapes_on_sphere(self):
+        dmin = self._drape_dmin(self._scene(thickness=0.05))
+        # nothing ever inside the sphere (+thickness shell, solver tol)
+        assert dmin > 0.8 + 0.05 - 0.02
+
+    def test_zero_thickness_passes_through(self):
+        dmin = self._drape_dmin(self._scene(thickness=0.0))
+        assert dmin < 0.75                # swings straight through

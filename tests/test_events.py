@@ -145,3 +145,47 @@ def test_collision_events_batched():
             events_seen[i].extend(begins)
     assert len(events_seen[0]) >= 1      # env 0's sphere lands
     assert len(events_seen[1]) == 0      # env 1 still falling
+
+
+def test_trigger_events_vmapped():
+    """trigger_events is pure mask algebra over the static trigger-pair
+    list, so it vmaps over env batches unchanged (the batched analog of
+    the reference's per-scene trigger callbacks)."""
+    b = SceneBuilder()
+    g = b.add_static()
+    b.add_box_collider(g, (0, -1, 0), (20, 1, 20))
+    trig = b.add_static(position=(0, 3.0, 0))
+    b.add_box_collider(trig, (0, 0, 0), (1.0, 0.5, 1.0))
+    b.mark_trigger(trig)
+    body = b.add_body(position=(0, 6.0, 0))
+    b.add_sphere_collider(body, (0, 0, 0), 0.4)
+    scene = b.finalize()
+    settings = PhysicsSettings(num_rigid_solver_iterations=10,
+                               solver_mode="jacobi")
+
+    n = 4
+    base = scene.initial_state()
+    st = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (n, *x.shape)).copy(), base)
+    # stagger drop heights so enters happen on different steps per env
+    st = st.replace(pos=st.pos.at[:, body, 1].add(jnp.arange(n) * 0.7))
+
+    step = jax.jit(jax.vmap(lambda s: physics_step(scene, s, settings,
+                                                   1 / 120)))
+    ev = jax.jit(jax.vmap(trigger_events))
+
+    prev = jnp.zeros((n, scene.overlap_pairs.shape[0]), bool)
+    n_enter = np.zeros(n, np.int64)
+    n_leave = np.zeros(n, np.int64)
+    enter_step = np.full(n, -1)
+    for i in range(300):
+        st, info = step(st)
+        enter, leave = ev(prev, info.trigger_overlap)
+        e = np.asarray(enter.sum(-1))
+        n_enter += e
+        n_leave += np.asarray(leave.sum(-1))
+        enter_step[(e > 0) & (enter_step < 0)] = i
+        prev = info.trigger_overlap
+    assert np.all(n_enter == 1) and np.all(n_leave == 1)
+    # staggered heights -> strictly increasing enter steps across envs
+    assert np.all(np.diff(enter_step) > 0)

@@ -439,6 +439,25 @@ def main():
     signal.signal(signal.SIGALRM, on_alarm)
     signal.alarm(int(rep.deadline))
 
+    # Second line of defense: SIGALRM handlers only run between Python
+    # bytecodes in the MAIN thread — a chip claim blocked inside a C call
+    # never lets it fire. A daemon thread still runs (the claim releases
+    # the GIL while it waits), so it can dump partials and hard-exit. No
+    # lease exists yet while the claim is blocked, so os._exit is safe
+    # here (the wedge documented in PERF_NOTES needs a HELD lease).
+    import threading
+    finished = threading.Event()
+
+    def watchdog():
+        if not finished.wait(rep.deadline + 45.0):
+            rep.extras["watchdog_hit"] = True
+            rep.note("watchdog: main thread stuck (blocked claim?) — "
+                     "dumping partials and hard-exiting")
+            rep.emit()
+            os._exit(0)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+
     rep.note("claiming device...")
     on_tpu = jax.devices()[0].platform != "cpu"
     num_envs = args.envs or (4096 if on_tpu else 32)
@@ -519,6 +538,7 @@ def main():
         run_config("fidelity_seq", 60, do_fidelity_seq)
 
     signal.alarm(0)
+    finished.set()
     rep.emit()
 
 

@@ -551,28 +551,235 @@ def capsule_box_contact(aa, ab, ar, bc, bh, bq):
     return pts, dps, nrm, cnt, hit
 
 
+def _aabb_face_clip_interval(la, lb, radius, bh, normal):
+    """Parameter-interval clip of the radius-shifted axis segment against
+    the side planes of the box face opposing `normal` (box-local, AABB at
+    origin). AoS twin of cm_narrowphase._face_clip_segment_cm — same
+    construction so the fused kernel and the XLA path agree exactly.
+    Returns (e0p, e1p, dp_e0, dp_e1, m_e0, m_e1, clip_ok): face-projected
+    endpoints, depths, live masks, interval validity."""
+    absn = jnp.abs(normal)
+    fk0 = absn[0] > 0.99
+    fk1 = ~fk0 & (absn[1] > 0.99)
+    pa = la + normal * radius
+    pb = lb + normal * radius
+
+    def sel(i0, i1, i2, v):
+        return jnp.where(fk0, v[i0], jnp.where(fk1, v[i1], v[i2]))
+
+    pa_u = sel(1, 0, 0, pa)
+    pa_v = sel(2, 2, 1, pa)
+    d_u = sel(1, 0, 0, pb) - pa_u
+    d_v = sel(2, 2, 1, pb) - pa_v
+    h_u = sel(1, 0, 0, bh)
+    h_v = sel(2, 2, 1, bh)
+
+    t0 = jnp.zeros_like(pa_u)
+    t1 = jnp.ones_like(pa_u)
+
+    def clip(t0, t1, p, d, h):
+        big = 1e30
+        for sign in (1.0, -1.0):
+            num = sign * h - p
+            tcross = num / jnp.where(d == 0.0, big, d)
+            dpos = (d * sign) > 0.0
+            viol = (sign * p) > h
+            t1 = jnp.where(dpos, jnp.minimum(t1, tcross), t1)
+            t0 = jnp.where(~dpos & (d != 0.0), jnp.maximum(t0, tcross), t0)
+            t1 = jnp.where((d == 0.0) & viol, -1.0, t1)
+        return t0, t1
+
+    t0, t1 = clip(t0, t1, pa_u, d_u, h_u)
+    t0, t1 = clip(t0, t1, pa_v, d_v, h_v)
+    clip_ok = t1 >= t0
+
+    seg_d = pb - pa
+    e0 = pa + seg_d * t0
+    e1 = pa + seg_d * t1
+    face_h = sel(0, 1, 2, bh)
+    n_k = sel(0, 1, 2, normal)
+    p0_k = sel(0, 1, 2, e0)
+    p1_k = sel(0, 1, 2, e1)
+    dp_e0 = n_k * p0_k + face_h
+    dp_e1 = n_k * p1_k + face_h
+    ref_k = -n_k * face_h
+
+    def project(p):
+        mask0 = jnp.array([1.0, 0.0, 0.0], p.dtype)
+        mask1 = jnp.array([0.0, 1.0, 0.0], p.dtype)
+        mask2 = jnp.array([0.0, 0.0, 1.0], p.dtype)
+        m = jnp.where(fk0, mask0, jnp.where(fk1, mask1, mask2))
+        return p * (1.0 - m) + ref_k * m
+
+    return (project(e0), project(e1), dp_e0, dp_e1,
+            dp_e0 >= 0.0, dp_e1 >= 0.0, clip_ok)
+
+
+def _snap_sign(x):
+    """sign(x) with fp dust snapped to 0: sub-1e-6 components of a support
+    direction are numerical noise (e.g. dot(u, u x e) on an edge-cross SAT
+    winner), and their raw sign flips with compilation/fusion choices —
+    the witness point must not jump a whole cap/face over that."""
+    return jnp.sign(jnp.where(jnp.abs(x) < 1e-6, 0.0, x))
+
+
+def _cyl_support_local(c, u, hl, r, d):
+    """Support point of cylinder (center c, unit axis u, half-length hl,
+    radius r) along direction d, all box-local (collision_gjk.h cylinder
+    support semantics, closed form). Degenerate axial/radial components
+    resolve to the feature midpoint (snapped sign)."""
+    cap = c + u * (hl * _snap_sign(dot(u, d)))[..., None]
+    radial = d - dot(d, u)[..., None] * u
+    rl = length(radial)
+    rad = jnp.where(rl > EPSILON,
+                    radial / jnp.maximum(rl, 1e-30)[..., None] * r, 0.0)
+    return cap + rad
+
+
 def cylinder_box_contact(aa, ab, ar, bc, bh, bq):
-    """collision_narrow.cpp:953-1043: like capsule-box. The reference's
-    cap-face case is a single EPA contact with a stability TODO (1015-1018);
-    here it gets a 4-point ring on the cap rim."""
+    """collision_narrow.cpp:953-1043 behavior: contact normal/point for the
+    closest feature, then face-clip / cap-ring manifold enrichment. The
+    reference's cap-face case is a single EPA contact with a stability TODO
+    (1015-1018); here it gets a 4-point ring on the cap rim.
+
+    TPU redesign (same rationale as capsule_box_contact): the reference
+    finds normal/depth with GJK+EPA; here everything is closed-form —
+      * boolean: the cylinder is contained in its capsule, so axis-box
+        distance > r separates exactly; a perpendicular closest feature is
+        the exact tube case; otherwise solid-cylinder-vs-box alternating
+        projection decides;
+      * tube contacts (closest feature on the lateral surface): exact
+        capsule formula;
+      * cap/deep contacts: SAT minimum-translation over the cylinder-box
+        candidate axes {3 box faces, cylinder axis, 3 axis x box-edge
+        crosses, the lateral closest-point direction} — validated against
+        GJK+EPA to EPA's own tolerance (tests/test_gjk_epa.py)."""
     la = quat_inv_rotate(bq, aa - bc)
     lb = quat_inv_rotate(bq, ab - bc)
-    cyl = (la, lb, ar)
-    box = (jnp.zeros(3, la.dtype), bh, _IDQ)
-    hit, simplex = gjk_intersection(support_cylinder, support_box, cyl, box,
-                                    max_iterations=PRIM_GJK_ITERS)
-    point, normal, depth = epa(support_cylinder, support_box, cyl, box,
-                               simplex, max_iterations=PRIM_EPA_ITERS)
+
+    axis_v = lb - la
+    alen = length(axis_v)
+    u = axis_v / jnp.maximum(alen, 1e-30)
+    hl = 0.5 * alen
+    cc = 0.5 * (la + lb)
+
+    # ---- exact boolean ----------------------------------------------------
+    s, q = _segment_box_closest(la, lb, bh)
+    delta = q - s
+    d2 = squared_length(delta)
+    dist_axis = jnp.sqrt(jnp.maximum(d2, 1e-30))
+    # threshold well above alternating-projection fp dust: with the axis
+    # on/inside the box the closest-pair delta is noise, and a knife-edge
+    # have_dir would let the AoS and CM paths pick different witness points
+    dir_thr = jnp.maximum(1e-3 * ar, 1e-6)
+    have_dir = d2 > dir_thr * dir_thr
+    tube_case = have_dir & (jnp.abs(dot(delta, u)) <= 1e-4 * dist_axis)
+
+    # solid-cylinder / box alternating projection (both projections are
+    # closed-form; converges monotonically for convex sets — linear rate,
+    # measured ~0.75/iter on grazing configs, hence the 32-iter budget)
+    p = cc
+    for _ in range(32):
+        qq = jnp.clip(p, -bh, bh)
+        w = qq - cc
+        t = jnp.clip(dot(w, u), -hl, hl)
+        rad = w - dot(w, u)[..., None] * u
+        rl = length(rad)
+        scale = jnp.minimum(1.0, ar / jnp.maximum(rl, 1e-30))
+        p = cc + t[..., None] * u + rad * scale[..., None]
+    qq = jnp.clip(p, -bh, bh)
+    d_cb2 = squared_length(qq - p)
+    touch = jnp.maximum(1e-3 * ar, 1e-5)
+    cap_hit = d_cb2 <= touch * touch
+
+    # ---- tube contact: exact (the capsule formula) -------------------------
+    n_tube = jnp.where(have_dir[..., None], delta / dist_axis[..., None], _UP)
+    depth_tube = ar - dist_axis
+    point_tube = 0.5 * (s + n_tube * ar + q)
+
+    # ---- cap/deep contact: SAT-MTV over the candidate axes -----------------
+    def overlap(n):
+        rb = jnp.sum(bh * jnp.abs(n), axis=-1)
+        un = dot(u, n)
+        rc = hl * jnp.abs(un) + ar * jnp.sqrt(jnp.maximum(1.0 - un * un, 0.0))
+        return rb + rc - jnp.abs(dot(cc, n))
+
+    _BIGF = 3.4e38
+    best_ov = jnp.full_like(ar, _BIGF)
+    best_n = _UP
+    best_id = jnp.int32(-1)
+
+    def consider(best_ov, best_n, best_id, n, valid, cid):
+        # relative tie tolerance (SAT_TIE_TOL, see box_box_contact): a
+        # later candidate must beat the incumbent by a scale-invariant
+        # margin, so fp dust never flips the winner between the AoS and
+        # CM compilations
+        ov = jnp.where(valid, overlap(n), _BIGF)
+        take = ov < best_ov - SAT_TIE_TOL * (jnp.abs(ov) + jnp.abs(best_ov))
+        return (jnp.where(take, ov, best_ov), jnp.where(take, n, best_n),
+                jnp.where(take, cid, best_id))
+
+    eye = jnp.eye(3, dtype=la.dtype)
+    for i in range(3):                                    # box faces
+        best_ov, best_n, best_id = consider(
+            best_ov, best_n, best_id, eye[i], jnp.bool_(True), i)
+    best_ov, best_n, best_id = consider(                  # cylinder axis
+        best_ov, best_n, best_id, u, alen > EPSILON, 3)
+    for i in range(3):                                    # u x box edges
+        wax = cross(u, eye[i])
+        wl = length(wax)
+        wn = wax / jnp.maximum(wl, 1e-30)[..., None]
+        best_ov, best_n, best_id = consider(
+            best_ov, best_n, best_id, wn, wl > 1e-6, 4 + i)
+    best_ov, best_n, best_id = consider(                  # lateral closest
+        best_ov, best_n, best_id, n_tube, have_dir, 7)
+
+    sgn = jnp.where(dot(cc, best_n) >= 0.0, 1.0, -1.0)
+    n_sat = -sgn[..., None] * best_n                      # points cyl -> box
+    depth_sat = best_ov
+
+    # witness point by winning feature (snapped signs: see _snap_sign)
+    pa_face = _cyl_support_local(cc, u, hl, ar, n_sat)
+    pt_face = pa_face - 0.5 * depth_sat[..., None] * n_sat
+    pb_u = _snap_sign(-n_sat) * bh
+    pt_u = pb_u + 0.5 * depth_sat[..., None] * n_sat
+    pt_mid = 0.5 * (pa_face + pb_u)
+    pt_lat = jnp.where(have_dir[..., None],
+                       0.5 * (s + n_sat * ar + q), pt_mid)
+    point_sat = jnp.where((best_id < 3)[..., None], pt_face,
+                jnp.where((best_id == 3)[..., None], pt_u, pt_lat))
+
+    # tube direction wins only when it is the smaller pushout (an
+    # overhanging cylinder can touch a side wall while its cap's face
+    # overlap is the true MTV — match EPA's global minimum)
+    use_tube = tube_case & (depth_tube <= depth_sat)
+    normal = jnp.where(use_tube[..., None], n_tube, n_sat)
+    depth = jnp.where(use_tube, depth_tube, depth_sat)
+    point = jnp.where(use_tube[..., None], point_tube, point_sat)
+
+    # hit: capsule containment rejects (dist > r); a negative candidate
+    # overlap is a separation certificate; otherwise the exact tube case
+    # or the projection boolean decides
+    hit = (dist_axis <= ar) & (depth_sat >= 0.0) & (tube_case | cap_hit)
 
     is_face = jnp.any(jnp.abs(normal) > 0.99)
     axis = normalize(lb - la)
     cos_angle = jnp.abs(dot(normal, axis))
     enrich = is_face & (cos_angle < 0.01)
 
-    e_pts, e_dps, e_count = _aabb_face_clip_segment(la, lb, ar, bh, normal, normal)
-    use = enrich & (e_count > 0)
+    # parameter-interval clip of the shifted axis segment against the face
+    # window (same construction as the fused kernel's cm recipe — exact
+    # cross-mode agreement, and no Sutherland-Hodgman duplicate points)
+    e0p, e1p, dp_e0, dp_e1, m_e0, m_e1, clip_ok = _aabb_face_clip_interval(
+        la, lb, ar, bh, normal)
+    use = enrich & clip_ok & (m_e0 | m_e1)
 
     pts1, dps1, nrm1, cnt1, _ = _one_point(point, depth, normal, hit)
+    first = jnp.where(m_e0[..., None], e0p, e1p)
+    e_pts = (jnp.zeros((4, 3), la.dtype).at[0].set(first).at[1].set(e1p))
+    e_dps = (jnp.zeros((4,), la.dtype)
+             .at[0].set(jnp.where(m_e0, dp_e0, dp_e1)).at[1].set(dp_e1))
+    e_count = jnp.where(m_e0 & m_e1, 2, 1)
     pts = jnp.where(use, e_pts, pts1)
     dps = jnp.where(use, e_dps, dps1)
     cnt = jnp.where(use, e_count, cnt1)
@@ -680,10 +887,110 @@ def cylinder_cylinder_contact(aa, ab, ar, ba, bb, br):
     p_cnt = jnp.where(cap_first, cap_cnt, 2)
     p_cnt = jnp.where(par_hit, p_cnt, 0)
 
-    # non-parallel: GJK+EPA
-    g_pts, g_dps, g_nrm, g_cnt, g_hit = _gjk_epa_point(
-        support_cylinder, support_cylinder, (aa, ab, ar), (ba, bb, br),
-        max_iterations=PRIM_EPA_ITERS)
+    # non-parallel: analytic (round 3, replaces GJK+EPA — same design as
+    # cylinder_box_contact: exact boolean via capsule containment +
+    # solid-solid alternating projection, exact tube-tube contacts,
+    # SAT-MTV candidates {axis_a, axis_b, axis cross, lateral closest} for
+    # cap-involved/deep contacts; validated vs EPA in tests/test_gjk_epa.py)
+    ca_c = 0.5 * (aa + ab)
+    cb_c = 0.5 * (ba + bb)
+    a_hl = 0.5 * a_len
+    b_lenv = bb - ba
+    b_len = length(b_lenv)
+    b_hl = 0.5 * b_len
+    rsum = ar + br
+
+    c1, c2, dsq = closest_point_segment_segment(aa, ab, ba, bb)
+    gdelta = c2 - c1
+    gdist = jnp.sqrt(jnp.maximum(dsq, 1e-30))
+    g_thr = jnp.maximum(1e-3 * jnp.maximum(ar, br), 1e-6)
+    g_have = dsq > g_thr * g_thr
+    # both closest features on the tubes: delta perpendicular to both axes
+    perp = g_have & (jnp.abs(dot(gdelta, a_dir)) <= 1e-4 * gdist) \
+        & (jnp.abs(dot(gdelta, b_dir)) <= 1e-4 * gdist)
+    n_tt = jnp.where(g_have[..., None], gdelta / gdist[..., None], _UP)
+    depth_tt = rsum - gdist
+    point_tt = 0.5 * (c1 + n_tt * ar + c2 - n_tt * br)
+
+    def _proj_cyl(x, c, uax, hl, r):
+        w = x - c
+        t = jnp.clip(dot(w, uax), -hl, hl)
+        rad = w - dot(w, uax)[..., None] * uax
+        rl = length(rad)
+        scale = jnp.minimum(1.0, r / jnp.maximum(rl, 1e-30))
+        return c + t[..., None] * uax + rad * scale[..., None]
+
+    p = ca_c
+    for _ in range(32):
+        qq = _proj_cyl(p, cb_c, b_dir, b_hl, br)
+        p = _proj_cyl(qq, ca_c, a_dir, a_hl, ar)
+    qq = _proj_cyl(p, cb_c, b_dir, b_hl, br)
+    d_cc2 = squared_length(qq - p)
+    g_touch = jnp.maximum(1e-3 * jnp.maximum(ar, br), 1e-5)
+    g_caphit = d_cc2 <= g_touch * g_touch
+
+    def cyl_radius_on(n, uax, hl, r):
+        un = dot(uax, n)
+        return hl * jnp.abs(un) + r * jnp.sqrt(
+            jnp.maximum(1.0 - un * un, 0.0))
+
+    dc = cb_c - ca_c
+
+    def g_overlap(n):
+        return (cyl_radius_on(n, a_dir, a_hl, ar)
+                + cyl_radius_on(n, b_dir, b_hl, br) - jnp.abs(dot(dc, n)))
+
+    _BIGF = 3.4e38
+    g_bo = jnp.full_like(ar, _BIGF)
+    g_bn = _UP
+    g_bi = jnp.int32(-1)
+
+    def g_consider(bo, bn, bi, n, valid, cid):
+        ov = jnp.where(valid, g_overlap(n), _BIGF)
+        take = ov < bo - SAT_TIE_TOL * (jnp.abs(ov) + jnp.abs(bo))
+        return (jnp.where(take, ov, bo), jnp.where(take, n, bn),
+                jnp.where(take, cid, bi))
+
+    g_bo, g_bn, g_bi = g_consider(g_bo, g_bn, g_bi, a_dir,
+                                  a_len > EPSILON, 0)
+    g_bo, g_bn, g_bi = g_consider(g_bo, g_bn, g_bi, b_dir,
+                                  b_len > EPSILON, 1)
+    xax = cross(a_dir, b_dir)
+    xl = length(xax)
+    g_bo, g_bn, g_bi = g_consider(
+        g_bo, g_bn, g_bi, xax / jnp.maximum(xl, 1e-30)[..., None],
+        xl > 1e-6, 2)
+    g_bo, g_bn, g_bi = g_consider(g_bo, g_bn, g_bi, n_tt, g_have, 3)
+
+    g_sgn = jnp.where(dot(dc, g_bn) >= 0.0, 1.0, -1.0)
+    n_gsat = g_sgn[..., None] * g_bn                       # points A -> B
+    depth_gsat = g_bo
+
+    def _cyl_sup(c, uax, hl, r, d):
+        cap = c + uax * (hl * _snap_sign(dot(uax, d)))[..., None]
+        radial = d - dot(d, uax)[..., None] * uax
+        rl = length(radial)
+        rad = jnp.where(rl > EPSILON,
+                        radial / jnp.maximum(rl, 1e-30)[..., None] * r, 0.0)
+        return cap + rad
+
+    pb_sup = _cyl_sup(cb_c, b_dir, b_hl, br, -n_gsat)      # B deepest into A
+    pa_sup = _cyl_sup(ca_c, a_dir, a_hl, ar, n_gsat)       # A deepest into B
+    pt_capa = pb_sup + 0.5 * depth_gsat[..., None] * n_gsat
+    pt_capb = pa_sup - 0.5 * depth_gsat[..., None] * n_gsat
+    pt_glat = jnp.where(g_have[..., None],
+                        0.5 * (c1 + n_gsat * ar + c2 - n_gsat * br),
+                        0.5 * (pa_sup + pb_sup))
+    point_gsat = jnp.where((g_bi == 0)[..., None], pt_capa,
+                 jnp.where((g_bi == 1)[..., None], pt_capb, pt_glat))
+
+    use_tt = perp & (depth_tt <= depth_gsat)
+    g_nrm = jnp.where(use_tt[..., None], n_tt, n_gsat)
+    g_depth = jnp.where(use_tt, depth_tt, depth_gsat)
+    g_point = jnp.where(use_tt[..., None], point_tt, point_gsat)
+    g_hit = (gdist <= rsum) & (depth_gsat >= 0.0) & (perp | g_caphit)
+    g_pts, g_dps, g_nrm, g_cnt, g_hit = _one_point(
+        g_point, g_depth, g_nrm, g_hit)
 
     pts = jnp.where(is_parallel, p_pts, g_pts)
     dps = jnp.where(is_parallel, p_dps, g_dps)

@@ -209,68 +209,14 @@ def _segment_box_closest_cm(la, lb, bh, iters=8):
     return s, q
 
 
-def capsule_box_cm(aa, ab, ar, bc, bh, bq):
-    """narrowphase.capsule_box_contact (collision_narrow.cpp:705-790
-    behavior): K=2. bh: v3 of half-extents; bq: 4-tuple quat.
-    Returns (pts[2], dps[2], normal, mask[2]) in WORLD space."""
-    la = quat_inv_rotate_cm(bq, _sub(aa, bc))
-    lb = quat_inv_rotate_cm(bq, _sub(ab, bc))
-
-    s, q = _segment_box_closest_cm(la, lb, bh)
-    delta = _sub(q, s)
-    d2 = _sqlen(delta)
-    inside = d2 <= 1e-12
-
-    dist = jnp.sqrt(jnp.maximum(d2, 1e-30))
-    n_shallow = _muls(delta, 1.0 / dist)
-    depth_shallow = ar - dist
-    point_shallow = _muls(_add(_add(s, _muls(n_shallow, ar)), q), 0.5)
-
-    # deep: min-translation face of the deeper-inside endpoint
-    def face_pen(p):
-        fp = tuple(bh[i] - jnp.abs(jnp.clip(p[i], -bh[i], bh[i]))
-                   for i in range(3))
-        return fp
-
-    def fp_min(p):
-        fp = face_pen(p)
-        return jnp.minimum(fp[0], jnp.minimum(fp[1], fp[2]))
-
-    in_a = ((jnp.abs(la[0]) <= bh[0]) & (jnp.abs(la[1]) <= bh[1])
-            & (jnp.abs(la[2]) <= bh[2]))
-    in_b = ((jnp.abs(lb[0]) <= bh[0]) & (jnp.abs(lb[1]) <= bh[1])
-            & (jnp.abs(lb[2]) <= bh[2]))
-    pen_a = fp_min(la)
-    pen_b = fp_min(lb)
-    pick_a = in_a & (~in_b | (pen_a >= pen_b))
-    p_deep = _where(pick_a, la, _where(in_b, lb, s))
-
-    fp = tuple(bh[i] - jnp.abs(p_deep[i]) for i in range(3))
-    # argmin over the 3 face distances
-    k0 = (fp[0] <= fp[1]) & (fp[0] <= fp[2])
-    k1 = ~k0 & (fp[1] <= fp[2])
-    k2 = ~k0 & ~k1
-    fmin = jnp.where(k0, fp[0], jnp.where(k1, fp[1], fp[2]))
-    sgn = [jnp.where(p_deep[i] >= 0.0, 1.0, -1.0) for i in range(3)]
-    n_deep = (-jnp.where(k0, sgn[0], 0.0), -jnp.where(k1, sgn[1], 0.0),
-              -jnp.where(k2, sgn[2], 0.0))
-    depth_deep = ar + fmin
-
-    normal = _where(inside, n_deep, n_shallow)
-    depth = jnp.where(inside, depth_deep, depth_shallow)
-    point = _where(inside, p_deep, point_shallow)
-    hit = inside | (depth_shallow >= 0.0)
-
-    # parallel-to-face 2-point manifold (the segment clipped to the face
-    # window; collision_narrow.cpp:731-765 via _aabb_face_clip_segment)
+def _face_clip_segment_cm(la, lb, ar, bh, normal):
+    """Shared capsule/cylinder vs box-face manifold enrichment on CM rows
+    (narrowphase._aabb_face_clip_segment behavior via a parameter-interval
+    clip of the radius-shifted axis segment against the face window).
+    Returns (e0p, e1p, dp_e0, dp_e1, m_e0, m_e1, clip_ok): face-projected
+    endpoint candidates (box-local), their depths, live masks and interval
+    validity."""
     absn = (jnp.abs(normal[0]), jnp.abs(normal[1]), jnp.abs(normal[2]))
-    is_face = (absn[0] > 0.99) | (absn[1] > 0.99) | (absn[2] > 0.99)
-    axisv = _sub(lb, la)
-    axis = _muls(axisv, 1.0 / jnp.maximum(
-        jnp.sqrt(jnp.maximum(_sqlen(axisv), 0.0)), 1e-30))
-    parallel = jnp.abs(_dot(normal, axis)) < 0.01
-    enrich = is_face & parallel
-
     # face axis k = argmax |normal|; clip the shifted segment's param
     # interval against the two side-plane pairs
     fk0 = absn[0] > 0.99
@@ -337,6 +283,73 @@ def capsule_box_cm(aa, ab, ar, bc, bh, bq):
     e1p = project(e1, p1_k)
     m_e0 = dp_e0 >= 0.0
     m_e1 = dp_e1 >= 0.0
+    return e0p, e1p, dp_e0, dp_e1, m_e0, m_e1, clip_ok
+
+
+def capsule_box_cm(aa, ab, ar, bc, bh, bq):
+    """narrowphase.capsule_box_contact (collision_narrow.cpp:705-790
+    behavior): K=2. bh: v3 of half-extents; bq: 4-tuple quat.
+    Returns (pts[2], dps[2], normal, mask[2]) in WORLD space."""
+    la = quat_inv_rotate_cm(bq, _sub(aa, bc))
+    lb = quat_inv_rotate_cm(bq, _sub(ab, bc))
+
+    s, q = _segment_box_closest_cm(la, lb, bh)
+    delta = _sub(q, s)
+    d2 = _sqlen(delta)
+    inside = d2 <= 1e-12
+
+    dist = jnp.sqrt(jnp.maximum(d2, 1e-30))
+    n_shallow = _muls(delta, 1.0 / dist)
+    depth_shallow = ar - dist
+    point_shallow = _muls(_add(_add(s, _muls(n_shallow, ar)), q), 0.5)
+
+    # deep: min-translation face of the deeper-inside endpoint
+    def face_pen(p):
+        fp = tuple(bh[i] - jnp.abs(jnp.clip(p[i], -bh[i], bh[i]))
+                   for i in range(3))
+        return fp
+
+    def fp_min(p):
+        fp = face_pen(p)
+        return jnp.minimum(fp[0], jnp.minimum(fp[1], fp[2]))
+
+    in_a = ((jnp.abs(la[0]) <= bh[0]) & (jnp.abs(la[1]) <= bh[1])
+            & (jnp.abs(la[2]) <= bh[2]))
+    in_b = ((jnp.abs(lb[0]) <= bh[0]) & (jnp.abs(lb[1]) <= bh[1])
+            & (jnp.abs(lb[2]) <= bh[2]))
+    pen_a = fp_min(la)
+    pen_b = fp_min(lb)
+    pick_a = in_a & (~in_b | (pen_a >= pen_b))
+    p_deep = _where(pick_a, la, _where(in_b, lb, s))
+
+    fp = tuple(bh[i] - jnp.abs(p_deep[i]) for i in range(3))
+    # argmin over the 3 face distances
+    k0 = (fp[0] <= fp[1]) & (fp[0] <= fp[2])
+    k1 = ~k0 & (fp[1] <= fp[2])
+    k2 = ~k0 & ~k1
+    fmin = jnp.where(k0, fp[0], jnp.where(k1, fp[1], fp[2]))
+    sgn = [jnp.where(p_deep[i] >= 0.0, 1.0, -1.0) for i in range(3)]
+    n_deep = (-jnp.where(k0, sgn[0], 0.0), -jnp.where(k1, sgn[1], 0.0),
+              -jnp.where(k2, sgn[2], 0.0))
+    depth_deep = ar + fmin
+
+    normal = _where(inside, n_deep, n_shallow)
+    depth = jnp.where(inside, depth_deep, depth_shallow)
+    point = _where(inside, p_deep, point_shallow)
+    hit = inside | (depth_shallow >= 0.0)
+
+    # parallel-to-face 2-point manifold (the segment clipped to the face
+    # window; collision_narrow.cpp:731-765 via _aabb_face_clip_segment)
+    absn = (jnp.abs(normal[0]), jnp.abs(normal[1]), jnp.abs(normal[2]))
+    is_face = (absn[0] > 0.99) | (absn[1] > 0.99) | (absn[2] > 0.99)
+    axisv = _sub(lb, la)
+    axis = _muls(axisv, 1.0 / jnp.maximum(
+        jnp.sqrt(jnp.maximum(_sqlen(axisv), 0.0)), 1e-30))
+    parallel = jnp.abs(_dot(normal, axis)) < 0.01
+    enrich = is_face & parallel
+
+    e0p, e1p, dp_e0, dp_e1, m_e0, m_e1, clip_ok = _face_clip_segment_cm(
+        la, lb, ar, bh, normal)
     use = enrich & clip_ok & (m_e0 | m_e1)
 
     pt0 = _where(use, _where(m_e0, e0p, e1p), point)
@@ -833,3 +846,392 @@ def capsule_cylinder_cm(aa, ab, ar, ba, bb, br):
     dp1 = pen
     m1 = use2 & two_hit
     return [pt0, pt1], [dp0, dp1], normal, [m0, m1]
+
+
+def cylinder_box_cm(aa, ab, ar, bc, bh, bq):
+    """narrowphase.cylinder_box_contact (collision_narrow.cpp:953-1043
+    behavior, analytic TPU redesign — see the AoS docstring): K=4.
+    Exact boolean (axis distance + solid-cylinder alternating projection),
+    exact tube contacts, SAT-MTV candidates for cap/deep contacts, then
+    face-clip (2 points) / cap-rim ring (4 points) enrichment.
+    Returns (pts[4], dps[4], normal, mask[4]) in WORLD space."""
+    la = quat_inv_rotate_cm(bq, _sub(aa, bc))
+    lb = quat_inv_rotate_cm(bq, _sub(ab, bc))
+
+    axis_v = _sub(lb, la)
+    alen = jnp.sqrt(jnp.maximum(_sqlen(axis_v), 0.0))
+    u = _muls(axis_v, 1.0 / jnp.maximum(alen, 1e-30))
+    hl = 0.5 * alen
+    cc = _muls(_add(la, lb), 0.5)
+    zero = jnp.zeros_like(ar)
+    one = jnp.ones_like(ar)
+    up = (zero, one, zero)
+
+    # ---- exact boolean ----
+    s, q = _segment_box_closest_cm(la, lb, bh)
+    delta = _sub(q, s)
+    d2 = _sqlen(delta)
+    dist_axis = jnp.sqrt(jnp.maximum(d2, 1e-30))
+    # threshold well above alternating-projection fp dust: with the axis
+    # on/inside the box the closest-pair delta is noise, and a knife-edge
+    # have_dir would let the AoS and CM paths pick different witness points
+    dir_thr = jnp.maximum(1e-3 * ar, 1e-6)
+    have_dir = d2 > dir_thr * dir_thr
+    tube_case = have_dir & (jnp.abs(_dot(delta, u)) <= 1e-4 * dist_axis)
+
+    # solid-cylinder / box alternating projection (32 iters: linear
+    # convergence, ~0.75/iter on grazing configs)
+    p = cc
+    for _ in range(32):
+        qq = tuple(jnp.clip(p[i], -bh[i], bh[i]) for i in range(3))
+        w = _sub(qq, cc)
+        t = jnp.clip(_dot(w, u), -hl, hl)
+        rad = _sub(w, _muls(u, _dot(w, u)))
+        rl = jnp.sqrt(jnp.maximum(_sqlen(rad), 0.0))
+        scale = jnp.minimum(1.0, ar / jnp.maximum(rl, 1e-30))
+        p = _add(_add(cc, _muls(u, t)), _muls(rad, scale))
+    qq = tuple(jnp.clip(p[i], -bh[i], bh[i]) for i in range(3))
+    d_cb2 = _sqlen(_sub(qq, p))
+    touch = jnp.maximum(1e-3 * ar, 1e-5)
+    cap_hit = d_cb2 <= touch * touch
+
+    # ---- tube contact: exact (the capsule formula) ----
+    n_tube = _where(have_dir, _muls(delta, 1.0 / dist_axis), up)
+    depth_tube = ar - dist_axis
+    point_tube = _muls(_add(_add(s, _muls(n_tube, ar)), q), 0.5)
+
+    # ---- cap/deep contact: SAT-MTV over the candidate axes ----
+    def overlap(n):
+        rb = bh[0] * jnp.abs(n[0]) + bh[1] * jnp.abs(n[1]) \
+            + bh[2] * jnp.abs(n[2])
+        un = _dot(u, n)
+        rc = hl * jnp.abs(un) + ar * jnp.sqrt(
+            jnp.maximum(1.0 - un * un, 0.0))
+        return rb + rc - jnp.abs(_dot(cc, n))
+
+    big = 3.4e38
+    best_ov = jnp.full_like(ar, big)
+    best_n = up
+    best_id = jnp.full_like(ar, -1.0)
+
+    def consider(bo, bn, bi, n, valid, cid):
+        # SAT_TIE_TOL relative tie-breaking (matches the AoS consider)
+        ov = jnp.where(valid, overlap(n), big)
+        take = ov < bo - SAT_TIE_TOL * (jnp.abs(ov) + jnp.abs(bo))
+        return (jnp.where(take, ov, bo), _where(take, n, bn),
+                jnp.where(take, cid, bi))
+
+    ex = (one, zero, zero)
+    ey = (zero, one, zero)
+    ez = (zero, zero, one)
+    for i, e in enumerate((ex, ey, ez)):                  # box faces
+        best_ov, best_n, best_id = consider(
+            best_ov, best_n, best_id, e, jnp.bool_(True), float(i))
+    best_ov, best_n, best_id = consider(                  # cylinder axis
+        best_ov, best_n, best_id, u, alen > EPSILON, 3.0)
+    for i, e in enumerate((ex, ey, ez)):                  # u x box edges
+        wax = _cross(u, e)
+        wl = jnp.sqrt(jnp.maximum(_sqlen(wax), 0.0))
+        wn = _muls(wax, 1.0 / jnp.maximum(wl, 1e-30))
+        best_ov, best_n, best_id = consider(
+            best_ov, best_n, best_id, wn, wl > 1e-6, 4.0 + i)
+    best_ov, best_n, best_id = consider(                  # lateral closest
+        best_ov, best_n, best_id, n_tube, have_dir, 7.0)
+
+    sgn = jnp.where(_dot(cc, best_n) >= 0.0, 1.0, -1.0)
+    n_sat = _muls(best_n, -sgn)                           # points cyl -> box
+    depth_sat = best_ov
+
+    # witness point by winning feature (matches _cyl_support_local; snapped
+    # signs — sub-1e-6 support components are fp dust whose raw sign flips
+    # with compilation choices, jumping the witness a whole cap/face)
+    def _snap_sign(x):
+        return jnp.sign(jnp.where(jnp.abs(x) < 1e-6, 0.0, x))
+
+    cap = _add(cc, _muls(u, hl * _snap_sign(_dot(u, n_sat))))
+    radial = _sub(n_sat, _muls(u, _dot(n_sat, u)))
+    rl2 = jnp.sqrt(jnp.maximum(_sqlen(radial), 0.0))
+    radv = _where(rl2 > EPSILON,
+                  _muls(radial, ar / jnp.maximum(rl2, 1e-30)),
+                  (zero, zero, zero))
+    pa_face = _add(cap, radv)
+    pt_face = _sub(pa_face, _muls(n_sat, 0.5 * depth_sat))
+    pb_u = tuple(_snap_sign(-n_sat[i]) * bh[i] for i in range(3))
+    pt_u = _add(pb_u, _muls(n_sat, 0.5 * depth_sat))
+    pt_mid = _muls(_add(pa_face, pb_u), 0.5)
+    pt_lat = _where(have_dir,
+                    _muls(_add(_add(s, _muls(n_sat, ar)), q), 0.5), pt_mid)
+    point_sat = _where(best_id < 2.5, pt_face,
+                       _where((best_id > 2.5) & (best_id < 3.5),
+                              pt_u, pt_lat))
+
+    # tube direction wins only when it is the smaller pushout (match the
+    # AoS path / EPA's global minimum)
+    use_tube = tube_case & (depth_tube <= depth_sat)
+    normal = _where(use_tube, n_tube, n_sat)
+    depth = jnp.where(use_tube, depth_tube, depth_sat)
+    point = _where(use_tube, point_tube, point_sat)
+
+    hit = (dist_axis <= ar) & (depth_sat >= 0.0) & (tube_case | cap_hit)
+
+    # ---- enrichment (same structure as the AoS path) ----
+    absn = (jnp.abs(normal[0]), jnp.abs(normal[1]), jnp.abs(normal[2]))
+    is_face = (absn[0] > 0.99) | (absn[1] > 0.99) | (absn[2] > 0.99)
+    axis_n = _muls(axis_v, 1.0 / jnp.maximum(
+        jnp.sqrt(jnp.maximum(_sqlen(axis_v), 0.0)), 1e-30))
+    cos_angle = jnp.abs(_dot(normal, axis_n))
+    enrich = is_face & (cos_angle < 0.01)
+
+    e0p, e1p, dp_e0, dp_e1, m_e0, m_e1, clip_ok = _face_clip_segment_cm(
+        la, lb, ar, bh, normal)
+    use = enrich & clip_ok & (m_e0 | m_e1)
+
+    pt0 = _where(use, _where(m_e0, e0p, e1p), point)
+    dp0 = jnp.where(use, jnp.where(m_e0, dp_e0, dp_e1), depth)
+    m0 = (use & (m_e0 | m_e1)) | (~use & hit)
+    pt1 = e1p
+    dp1 = dp_e1
+    m1 = use & m_e0 & m_e1
+
+    # cap flat on a box face: 4-point rim ring (narrowphase cylinder_box
+    # cap_case; the AoS path overrides points 0-3 when it applies)
+    cap_case = is_face & (cos_angle > 0.99)
+    pick_a = _dot(la, normal) > _dot(lb, normal)
+    cap_c = _where(pick_a, la, lb)
+    t1c = get_tangent_cm(normal)
+    t2c = _cross(normal, t1c)
+    rr = ar * 0.95
+    r0 = _add(cap_c, _muls(t1c, rr))
+    r1 = _sub(cap_c, _muls(t1c, rr))
+    r2 = _add(cap_c, _muls(t2c, rr))
+    r3 = _sub(cap_c, _muls(t2c, rr))
+
+    pt0 = _where(cap_case, r0, pt0)
+    pt1 = _where(cap_case, r1, pt1)
+    pt2 = r2
+    pt3 = r3
+    dp0 = jnp.where(cap_case, depth, dp0)
+    dp1 = jnp.where(cap_case, depth, dp1)
+    dp2 = depth
+    dp3 = depth
+    m0 = (cap_case & hit) | (~cap_case & m0 & hit)
+    m1 = (cap_case & hit) | (~cap_case & m1 & hit)
+    m2 = cap_case & hit
+    m3 = cap_case & hit
+
+    def to_world(pp):
+        return _add(quat_rotate_cm(bq, pp), bc)
+
+    nrm_w = quat_rotate_cm(bq, normal)
+    return ([to_world(pt0), to_world(pt1), to_world(pt2), to_world(pt3)],
+            [dp0, dp1, dp2, dp3], nrm_w, [m0, m1, m2, m3])
+
+
+def cylinder_cylinder_cm(aa, ab, ar, ba, bb, br):
+    """narrowphase.cylinder_cylinder_contact (collision_narrow.cpp:821-951
+    behavior, analytic non-parallel path round 3): K=4.
+    Parallel: cap-to-cap 4-point ring / tube-to-tube 2 points; otherwise
+    exact boolean + SAT-MTV single point (see the AoS docstring).
+    Returns (pts[4], dps[4], normal, mask[4]) in WORLD space."""
+    zero = jnp.zeros_like(ar)
+    one = jnp.ones_like(ar)
+    up = (zero, one, zero)
+
+    a_dirv = _sub(ab, aa)
+    a_len = jnp.sqrt(jnp.maximum(_sqlen(a_dirv), 0.0))
+    a_dir = _muls(a_dirv, 1.0 / jnp.maximum(a_len, 1e-30))
+    b_dirv = _sub(bb, ba)
+    b_len = jnp.sqrt(jnp.maximum(_sqlen(b_dirv), 0.0))
+    b_dir = _muls(b_dirv, 1.0 / jnp.maximum(b_len, 1e-30))
+    par = _dot(a_dir, b_dir)
+    is_parallel = jnp.abs(par) > 0.99
+
+    # ---- parallel branch (AoS lines: orient b along a, 1D intervals) ----
+    swap = par < 0.0
+    p_ba = _where(swap, bb, ba)
+    p_bb = _where(swap, ba, bb)
+    b0 = _dot(a_dir, _sub(p_ba, aa))
+    b1 = _dot(a_dir, _sub(p_bb, aa))
+    left = jnp.maximum(0.0, b0)
+    right = jnp.minimum(a_len, b1)
+    overlaps = right >= left
+
+    ca0 = _add(aa, _muls(a_dir, left))
+    ca1 = _add(aa, _muls(a_dir, right))
+    cb0 = closest_point_point_segment_cm(ca0, p_ba, p_bb)
+    cb1 = _add(cb0, _muls(a_dir, right - left))
+    nvec = _sub(cb0, ca0)
+    d = jnp.sqrt(jnp.maximum(_sqlen(nvec), 0.0))
+    pen = (ar + br) - d
+    radial_hit = pen >= 0.0
+
+    cap_pen = right - left
+    cap_first = cap_pen < pen
+    b_right = b0 > 0.0
+    cap_normal = _where(b_right, a_dir, _neg(a_dir))
+    cap_point = _where(b_right,
+                       _sub(ab, _muls(a_dir, 0.5 * cap_pen)),
+                       _add(aa, _muls(a_dir, 0.5 * cap_pen)))
+
+    degen = d < EPSILON
+    t_normal = _where(degen, up, _muls(nvec, 1.0 / jnp.maximum(d, 1e-30)))
+
+    # tube-to-tube 2 points
+    tt0 = _muls(_add(ca0, cb0), 0.5)
+    tt1 = _muls(_add(ca1, cb1), 0.5)
+
+    # cap-to-cap 4-point ring on the cap-disk intersection lens
+    lat = _sub(nvec, _muls(a_dir, _dot(nvec, a_dir)))
+    dl = jnp.sqrt(jnp.maximum(_sqlen(lat), 0.0))
+    lat_ok = dl > EPSILON
+    lat_dir = _where(lat_ok, _muls(lat, 1.0 / jnp.maximum(dl, 1e-30)),
+                     get_tangent_cm(a_dir))
+    lo = jnp.maximum(-ar, dl - br)
+    hi = jnp.minimum(ar, dl + br)
+    re = jnp.maximum(0.5 * (hi - lo), 0.0)
+    c_off = 0.5 * (lo + hi)
+    ring_c = _add(cap_point, _muls(lat_dir, c_off))
+    t1v = lat_dir
+    t2v = _cross(cap_normal, t1v)
+    r0 = _add(ring_c, _muls(t1v, re))
+    r1 = _sub(ring_c, _muls(t1v, re))
+    r2 = _add(ring_c, _muls(t2v, re))
+    r3 = _sub(ring_c, _muls(t2v, re))
+    ring_ok = re > EPSILON
+
+    par_hit = overlaps & radial_hit
+
+    # ---- non-parallel analytic (mirror of the AoS path) ----
+    ca_c = _muls(_add(aa, ab), 0.5)
+    cb_c = _muls(_add(ba, bb), 0.5)
+    a_hl = 0.5 * a_len
+    b_hl = 0.5 * b_len
+    rsum = ar + br
+
+    c1, c2 = closest_point_segment_segment_cm(aa, ab, ba, bb)
+    gdelta = _sub(c2, c1)
+    dsq = _sqlen(gdelta)
+    gdist = jnp.sqrt(jnp.maximum(dsq, 1e-30))
+    g_thr = jnp.maximum(1e-3 * jnp.maximum(ar, br), 1e-6)
+    g_have = dsq > g_thr * g_thr
+    perp = g_have & (jnp.abs(_dot(gdelta, a_dir)) <= 1e-4 * gdist) \
+        & (jnp.abs(_dot(gdelta, b_dir)) <= 1e-4 * gdist)
+    n_tt = _where(g_have, _muls(gdelta, 1.0 / gdist), up)
+    depth_tt = rsum - gdist
+    point_tt = _muls(_add(_add(c1, _muls(n_tt, ar)),
+                          _sub(c2, _muls(n_tt, br))), 0.5)
+
+    def _proj_cyl(x, c, uax, hl, r):
+        w = _sub(x, c)
+        wu = _dot(w, uax)
+        t = jnp.clip(wu, -hl, hl)
+        rad = _sub(w, _muls(uax, wu))
+        rl = jnp.sqrt(jnp.maximum(_sqlen(rad), 0.0))
+        scale = jnp.minimum(1.0, r / jnp.maximum(rl, 1e-30))
+        return _add(_add(c, _muls(uax, t)), _muls(rad, scale))
+
+    p = ca_c
+    for _ in range(32):
+        qq = _proj_cyl(p, cb_c, b_dir, b_hl, br)
+        p = _proj_cyl(qq, ca_c, a_dir, a_hl, ar)
+    qq = _proj_cyl(p, cb_c, b_dir, b_hl, br)
+    d_cc2 = _sqlen(_sub(qq, p))
+    g_touch = jnp.maximum(1e-3 * jnp.maximum(ar, br), 1e-5)
+    g_caphit = d_cc2 <= g_touch * g_touch
+
+    def cyl_radius_on(n, uax, hl, r):
+        un = _dot(uax, n)
+        return hl * jnp.abs(un) + r * jnp.sqrt(
+            jnp.maximum(1.0 - un * un, 0.0))
+
+    dc = _sub(cb_c, ca_c)
+
+    def g_overlap(n):
+        return (cyl_radius_on(n, a_dir, a_hl, ar)
+                + cyl_radius_on(n, b_dir, b_hl, br)
+                - jnp.abs(_dot(dc, n)))
+
+    big = 3.4e38
+    g_bo = jnp.full_like(ar, big)
+    g_bn = up
+    g_bi = jnp.full_like(ar, -1.0)
+
+    def g_consider(bo, bn, bi, n, valid, cid):
+        ov = jnp.where(valid, g_overlap(n), big)
+        take = ov < bo - SAT_TIE_TOL * (jnp.abs(ov) + jnp.abs(bo))
+        return (jnp.where(take, ov, bo), _where(take, n, bn),
+                jnp.where(take, cid, bi))
+
+    g_bo, g_bn, g_bi = g_consider(g_bo, g_bn, g_bi, a_dir,
+                                  a_len > EPSILON, 0.0)
+    g_bo, g_bn, g_bi = g_consider(g_bo, g_bn, g_bi, b_dir,
+                                  b_len > EPSILON, 1.0)
+    xax = _cross(a_dir, b_dir)
+    xl = jnp.sqrt(jnp.maximum(_sqlen(xax), 0.0))
+    g_bo, g_bn, g_bi = g_consider(
+        g_bo, g_bn, g_bi, _muls(xax, 1.0 / jnp.maximum(xl, 1e-30)),
+        xl > 1e-6, 2.0)
+    g_bo, g_bn, g_bi = g_consider(g_bo, g_bn, g_bi, n_tt, g_have, 3.0)
+
+    g_sgn = jnp.where(_dot(dc, g_bn) >= 0.0, 1.0, -1.0)
+    n_gsat = _muls(g_bn, g_sgn)                            # points A -> B
+    depth_gsat = g_bo
+
+    def _snap_sign(x):
+        return jnp.sign(jnp.where(jnp.abs(x) < 1e-6, 0.0, x))
+
+    def _cyl_sup(c, uax, hl, r, dv):
+        cap = _add(c, _muls(uax, hl * _snap_sign(_dot(uax, dv))))
+        radial = _sub(dv, _muls(uax, _dot(dv, uax)))
+        rl = jnp.sqrt(jnp.maximum(_sqlen(radial), 0.0))
+        rad = _where(rl > EPSILON,
+                     _muls(radial, r / jnp.maximum(rl, 1e-30)),
+                     (jnp.zeros_like(rl),) * 3)
+        return _add(cap, rad)
+
+    pb_sup = _cyl_sup(cb_c, b_dir, b_hl, br, _neg(n_gsat))
+    pa_sup = _cyl_sup(ca_c, a_dir, a_hl, ar, n_gsat)
+    pt_capa = _add(pb_sup, _muls(n_gsat, 0.5 * depth_gsat))
+    pt_capb = _sub(pa_sup, _muls(n_gsat, 0.5 * depth_gsat))
+    pt_glat = _where(g_have,
+                     _muls(_add(_add(c1, _muls(n_gsat, ar)),
+                                _sub(c2, _muls(n_gsat, br))), 0.5),
+                     _muls(_add(pa_sup, pb_sup), 0.5))
+    point_gsat = _where(g_bi < 0.5, pt_capa,
+                        _where((g_bi > 0.5) & (g_bi < 1.5),
+                               pt_capb, pt_glat))
+
+    use_tt = perp & (depth_tt <= depth_gsat)
+    g_nrm = _where(use_tt, n_tt, n_gsat)
+    g_depth = jnp.where(use_tt, depth_tt, depth_gsat)
+    g_point = _where(use_tt, point_tt, point_gsat)
+    g_hit = (gdist <= rsum) & (depth_gsat >= 0.0) & (perp | g_caphit)
+
+    # ---- assemble K=4 slots (priority: parallel ring > tube-2 > single)
+    use_ring = is_parallel & par_hit & cap_first & ring_ok
+    use_cap1 = is_parallel & par_hit & cap_first & ~ring_ok
+    use_tube2 = is_parallel & par_hit & ~cap_first
+    use_np = ~is_parallel
+
+    pt0 = _where(use_ring, r0,
+          _where(use_cap1, cap_point,
+          _where(use_tube2, tt0, g_point)))
+    dp0 = jnp.where(use_ring | use_cap1, cap_pen,
+          jnp.where(use_tube2, pen, g_depth))
+    pt1 = _where(use_ring, r1, tt1)
+    dp1 = jnp.where(use_ring, cap_pen, pen)
+    pt2 = r2
+    dp2 = cap_pen
+    pt3 = r3
+    dp3 = cap_pen
+
+    normal = _where(use_ring | use_cap1, cap_normal,
+             _where(use_tube2, t_normal, g_nrm))
+
+    m0 = (is_parallel & par_hit) | (use_np & g_hit)
+    m1 = use_ring | use_tube2
+    m2 = use_ring
+    m3 = use_ring
+
+    return ([pt0, pt1, pt2, pt3], [dp0, dp1, dp2, dp3], normal,
+            [m0, m1, m2, m3])

@@ -44,9 +44,10 @@ from dxk_tpu.ops.pallas.batched_solver import (
 # capsules, half-extents for boxes)
 COL_PARAMS = 11
 
-# sphere-sphere/capsule/cylinder/box, capsule-capsule/cylinder/box, box-box
+# sphere-sphere/capsule/cylinder/box, capsule-capsule/cylinder/box,
+# cylinder-cylinder/box (analytic, round 3), box-box
 CM_RECIPES = {(0, 0), (0, 1), (0, 2), (0, 3),
-              (1, 1), (1, 2), (1, 3), (3, 3)}
+              (1, 1), (1, 2), (1, 3), (2, 2), (2, 3), (3, 3)}
 
 
 def fused2_eligible(scene) -> bool:
@@ -147,6 +148,10 @@ def _narrow_native(meta, pa, pb):
         return cm.capsule_cylinder_cm(a3, b3a, ra, a3b, b3b, rb)
     if key == (1, 3):
         return cm.capsule_box_cm(a3, b3a, ra, a3b, b3b, qb)
+    if key == (2, 2):
+        return cm.cylinder_cylinder_cm(a3, b3a, ra, a3b, b3b, rb)
+    if key == (2, 3):
+        return cm.cylinder_box_cm(a3, b3a, ra, a3b, b3b, qb)
     if key == (3, 3):
         return cm.box_box_cm(a3, b3a, qa, a3b, b3b, qb)
     raise AssertionError(f"no cm recipe for {key}")

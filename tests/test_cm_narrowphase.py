@@ -271,3 +271,91 @@ def test_sphere_capsule_and_box():
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+class TestCylinderBox:
+    def test_matches_aos(self):
+        """cylinder_box_cm vs the AoS analytic path: same construction on
+        both sides (exact boolean + SAT-MTV + interval clip / cap ring), so
+        agreement is to fp epsilon — including manifold structure."""
+        key = jax.random.PRNGKey(7)
+        ks = jax.random.split(key, 9)
+        aa = _rand(ks[0], -1.5, 1.5, (N, 3))
+        ab = aa + _rand(ks[1], -1.5, 1.5, (N, 3))
+        ar = _rand(ks[2], 0.1, 0.5, (N,))
+        bc = _rand(ks[3], -0.3, 0.3, (N, 3))
+        bh = _rand(ks[4], 0.3, 1.0, (N, 3))
+        bq = _norm_quat(_rand(ks[5], -1, 1, (N, 4)))
+        # upright cap-on-face (ring) + lying tube-on-face (clip) chunks
+        bq = bq.at[:128].set(jnp.array([0.0, 0, 0, 1]))
+        aa = aa.at[:64, 1].set(_rand(ks[6], 0.3, 1.3, (64,)))
+        ab = ab.at[:64].set(aa[:64] + jnp.array([0.0, 1.0, 0.0]))
+        ab = ab.at[64:128, 1].set(aa[64:128, 1])
+
+        pts, dps, nrm, cnt, hit = jax.vmap(np_aos.cylinder_box_contact)(
+            aa, ab, ar, bc, bh, bq)
+        c_pts, c_dps, c_nrm, c_mask = cm.cylinder_box_cm(
+            _v3(aa), _v3(ab), ar, _v3(bc), _v3(bh), _q4(bq))
+
+        cnt_aos = np.asarray(cnt) * np.asarray(hit)
+        c_mask_np = np.stack([np.asarray(m) for m in c_mask], 1)
+        assert np.array_equal(c_mask_np.sum(1), cnt_aos), "counts differ"
+
+        # atol 1e-3: the two compilations' alternating-projection iterates
+        # carry different fp dust on slow-converging (grazing) configs —
+        # same feature and depth; an algorithmic divergence shows as >=0.1
+        hits = np.asarray(hit)
+        got_n = np.stack([np.asarray(c) for c in c_nrm], -1)
+        assert np.allclose(got_n[hits], np.asarray(nrm)[hits], atol=1e-3)
+        for k in range(4):
+            live = hits & c_mask_np[:, k]
+            if not live.any():
+                continue
+            gp = np.stack([np.asarray(c) for c in c_pts[k]], -1)[live]
+            assert np.allclose(gp, np.asarray(pts)[live, k], atol=1e-3)
+            assert np.allclose(np.asarray(c_dps[k])[live],
+                               np.asarray(dps)[live, k], atol=1e-3)
+        # every structural case must actually occur in the soup
+        assert (cnt_aos == 1).any() and (cnt_aos == 2).any() \
+            and (cnt_aos == 4).any()
+
+
+class TestCylinderCylinder:
+    def test_matches_aos(self):
+        """cylinder_cylinder_cm vs the AoS path across all four manifold
+        structures (cap ring / tube-2 / single cap / non-parallel)."""
+        key = jax.random.PRNGKey(2)
+        ks = jax.random.split(key, 8)
+        aa = _rand(ks[0], -1.0, 1.0, (N, 3))
+        ab = aa + _rand(ks[1], -1.5, 1.5, (N, 3))
+        ar = _rand(ks[2], 0.1, 0.5, (N,))
+        ba = _rand(ks[3], -1.0, 1.0, (N, 3))
+        bb = ba + _rand(ks[4], -1.5, 1.5, (N, 3))
+        br = _rand(ks[5], 0.1, 0.5, (N,))
+        bb = bb.at[:48].set(ba[:48] + (ab[:48] - aa[:48]))
+        ba = ba.at[:24].set(aa[:24] + 0.97 * (ab[:24] - aa[:24]) + 0.05)
+        bb = bb.at[:24].set(ba[:24] + (ab[:24] - aa[:24]))
+        bb = bb.at[48:80].set(ba[48:80] - (ab[48:80] - aa[48:80]))
+
+        pts, dps, nrm, cnt, hit = jax.vmap(
+            np_aos.cylinder_cylinder_contact)(aa, ab, ar, ba, bb, br)
+        c_pts, c_dps, c_nrm, c_mask = cm.cylinder_cylinder_cm(
+            _v3(aa), _v3(ab), ar, _v3(ba), _v3(bb), br)
+
+        cnt_aos = np.asarray(cnt) * np.asarray(hit)
+        c_mask_np = np.stack([np.asarray(m) for m in c_mask], 1)
+        assert np.array_equal(c_mask_np.sum(1), cnt_aos), "counts differ"
+
+        hits = np.asarray(hit)
+        got_n = np.stack([np.asarray(c) for c in c_nrm], -1)
+        assert np.allclose(got_n[hits], np.asarray(nrm)[hits], atol=1e-3)
+        for k in range(4):
+            live = hits & c_mask_np[:, k]
+            if not live.any():
+                continue
+            gp = np.stack([np.asarray(c) for c in c_pts[k]], -1)[live]
+            assert np.allclose(gp, np.asarray(pts)[live, k], atol=1e-3)
+            assert np.allclose(np.asarray(c_dps[k])[live],
+                               np.asarray(dps)[live, k], atol=1e-3)
+        assert (cnt_aos == 1).any() and (cnt_aos == 2).any() \
+            and (cnt_aos == 4).any()

@@ -292,3 +292,58 @@ def test_heightfield_scene_fused_matches_jacobi():
         stf = stepf(stf)
     assert float(jnp.abs(stj.pos - stf.pos).max()) < 1e-4
     assert bool(jnp.isfinite(stf.pos).all())
+
+
+def test_cylinder_box_native_matches_jacobi():
+    """Round 3: (2,3) is a native cm recipe — a cylinder scene covering all
+    three manifold structures (upright cap ring, lying tube clip, tilted
+    single point) must match the XLA path through the kernel. Tolerances
+    allow the alternating-projection fp dust the two compilations carry on
+    grazing configs (same feature; divergence would be >=1e-2)."""
+    b = SceneBuilder()
+    g = b.add_static()
+    b.add_box_collider(g, (0, -1, 0), (20, 1, 20))
+    up = b.add_body(position=(0, 0.58, 0))           # cap ring on ground
+    b.add_cylinder_collider(up, (0, -0.6, 0), (0, 0.6, 0), 0.4)
+    ly = b.add_body(position=(3, 0.38, 0))           # lying: tube clip
+    b.add_cylinder_collider(ly, (-0.7, 0, 0), (0.7, 0, 0), 0.4)
+    tl = b.add_body(position=(-3, 0.75, 0),
+                    rotation=(0.2588, 0.0, 0.0, 0.9659))  # 30deg tilt
+    b.add_cylinder_collider(tl, (0, -0.5, 0), (0, 0.5, 0), 0.35)
+    scene = b.finalize()
+    from dxk_tpu.ops.pallas.fused_step import CM_RECIPES, fused2_eligible
+    assert (2, 3) in CM_RECIPES and fused2_eligible(scene)
+
+    st = _batched_state(scene)
+    ja = _run(scene, st, "jacobi", 2, 10)
+    fu = _run(scene, st, "fused", 2, 10)
+    assert float(jnp.abs(ja.pos - fu.pos).max()) < 1e-5
+    assert float(jnp.abs(ja.lin_vel - fu.lin_vel).max()) < 1e-4
+    assert float(jnp.abs(ja.ang_vel - fu.ang_vel).max()) < 1e-4
+
+
+def test_cylinder_cylinder_native_matches_jacobi():
+    """Round 3: (2,2) is a native cm recipe — coaxial stack (cap ring) +
+    crossing tubes (non-parallel single point) must match the XLA path
+    through the kernel."""
+    b = SceneBuilder()
+    g = b.add_static()
+    b.add_box_collider(g, (0, -1, 0), (20, 1, 20))
+    c1 = b.add_body(position=(0, 0.48, 0))
+    b.add_cylinder_collider(c1, (0, -0.5, 0), (0, 0.5, 0), 0.4)
+    c2 = b.add_body(position=(0.03, 1.46, 0.02))        # stacked coaxial
+    b.add_cylinder_collider(c2, (0, -0.5, 0), (0, 0.5, 0), 0.35)
+    c3 = b.add_body(position=(3, 0.38, 0))              # lying
+    b.add_cylinder_collider(c3, (-0.7, 0, 0), (0.7, 0, 0), 0.4)
+    c4 = b.add_body(position=(3, 1.14, 0))              # crossing on top
+    b.add_cylinder_collider(c4, (0, 0, -0.7), (0, 0, 0.7), 0.38)
+    scene = b.finalize()
+    from dxk_tpu.ops.pallas.fused_step import CM_RECIPES, fused2_eligible
+    assert (2, 2) in CM_RECIPES and fused2_eligible(scene)
+
+    st = _batched_state(scene)
+    ja = _run(scene, st, "jacobi", 2, 10)
+    fu = _run(scene, st, "fused", 2, 10)
+    assert float(jnp.abs(ja.pos - fu.pos).max()) < 1e-5
+    assert float(jnp.abs(ja.lin_vel - fu.lin_vel).max()) < 1e-4
+    assert float(jnp.abs(ja.ang_vel - fu.ang_vel).max()) < 1e-4

@@ -107,18 +107,27 @@ def _particle_collider_sdf(w, hulls, p):
 
 
 def collide_particles(params: ClothParams, world, hulls, heightfield,
-                      pos, vel):
-    """One-way cloth-vs-rigid collision: project penetrating particles out
-    of every collider (deepest first) and the heightfield, and remove the
+                      pos, vel, bodies=None, colbody=None):
+    """Cloth-vs-rigid collision: project penetrating particles out of
+    every collider (deepest first) and the heightfield, and remove the
     approaching normal velocity. The reference has NO cloth-rigid
     collision (cloth.cpp never queries colliders) — this exceeds parity.
-    One-way: rigid bodies do not feel the cloth."""
+
+    One-way by default (rigid bodies do not feel the cloth). With
+    `bodies` (SolverBodies) and `colbody` (collider -> body index map)
+    given, the coupling is TWO-WAY at the velocity level: the normal
+    velocity removed is measured RELATIVE to the body surface point, and
+    the momentum each particle gains is applied as an opposite impulse on
+    the body at the contact point. Returns (pos, vel) or
+    (pos, vel, jsum (N+1, 3), tsum (N+1, 3)) with per-body impulse /
+    torque-impulse sums (dummy/static rows have inv_mass 0 and absorb
+    heightfield and static-collider contacts harmlessly)."""
     th = params.thickness
     free = params.inv_masses > 0.0
 
-    push = jnp.zeros_like(pos)
     normal = jnp.zeros_like(pos)
     depth = jnp.zeros(pos.shape[0], pos.dtype)
+    ci = jnp.zeros(pos.shape[0], jnp.int32)
     if world is not None and world.a.shape[0] > 0:
         sd, n = _particle_collider_sdf(world, hulls, pos)
         dep = th[None, :] - sd                    # (C, P)
@@ -126,6 +135,7 @@ def collide_particles(params: ClothParams, world, hulls, heightfield,
         depth = jnp.max(dep, axis=0)
         normal = jnp.take_along_axis(n, ci[None, :, None], axis=0)[0]
 
+    use_h = jnp.zeros(pos.shape[0], bool)
     if heightfield is not None:
         from dxk_tpu.ops.heightmap import height_at
         hdep = th - (pos[:, 1] - height_at(heightfield, pos[:, 0], pos[:, 2]))
@@ -137,10 +147,30 @@ def collide_particles(params: ClothParams, world, hulls, heightfield,
     hit = (depth > 0.0) & free
     push = jnp.where(hit[:, None], normal * depth[:, None], 0.0)
     pos = pos + push
-    vn = jnp.sum(normal * vel, -1)
-    vel = jnp.where(hit[:, None], vel - normal * jnp.minimum(vn, 0.0)[:, None],
-                    vel)
-    return pos, vel
+
+    if bodies is not None:
+        nb_dummy = bodies.v.shape[0] - 1
+        bi = jnp.take(jnp.asarray(colbody), ci) if colbody is not None \
+            else jnp.full(pos.shape[0], nb_dummy, jnp.int32)
+        bi = jnp.where(use_h, nb_dummy, bi)
+        r = pos - bodies.pos_cog[bi]
+        vb = bodies.v[bi] + cross(bodies.w[bi], r)
+    else:
+        vb = 0.0
+
+    vn = jnp.sum(normal * (vel - vb), -1)
+    rem = jnp.where(hit, jnp.minimum(vn, 0.0), 0.0)
+    vel = vel - normal * rem[:, None]
+
+    if bodies is None:
+        return pos, vel
+
+    # impulse on the particle = m_p * dv; opposite on the body at `pos`
+    m_p = jnp.where(free, 1.0 / jnp.maximum(params.inv_masses, 1e-12), 0.0)
+    j_body = (m_p * rem)[:, None] * normal        # = -J_particle
+    jsum = jnp.zeros_like(bodies.v).at[bi].add(j_body)
+    tsum = jnp.zeros_like(bodies.w).at[bi].add(cross(r, j_body))
+    return pos, vel, jsum, tsum
 
 
 def apply_wind_force(params: ClothParams, state: ClothState, force):
@@ -198,9 +228,14 @@ def _solve_velocities_scan(params, velocities, gradients, inv_scaled_grad_sq):
 
 def cloth_step(params: ClothParams, state: ClothState, settings,
                wind_force, dt, world=None, hulls=None,
-               heightfield=None) -> ClothState:
+               heightfield=None, bodies=None, colbody=None):
     """simulate (cloth.cpp:180-286) + optional cloth-vs-rigid collision
-    (particles with thickness > 0; see collide_particles)."""
+    (particles with thickness > 0; see collide_particles).
+
+    Returns (ClothState, impulses) where impulses is None, or — when
+    `bodies`/`colbody` are given (two-way coupling) — a (jsum, tsum) pair
+    of per-body impulse / torque-impulse sums the caller applies to the
+    rigid velocities."""
     state = apply_wind_force(params, state, wind_force)
 
     inv_mass = params.inv_masses
@@ -235,12 +270,18 @@ def cloth_step(params: ClothParams, state: ClothState, settings,
             pos = _solve_positions_scan(params, pos)
         vel = vel + (pos - drift_prev) * inv_dt
 
+    impulses = None
     if (params.thickness is not None
             and float(np.asarray(params.thickness).max()) > 0.0
             and (world is not None or heightfield is not None)):
-        pos, vel = collide_particles(params, world, hulls, heightfield,
-                                     pos, vel)
+        out = collide_particles(params, world, hulls, heightfield,
+                                pos, vel, bodies=bodies, colbody=colbody)
+        if bodies is not None:
+            pos, vel, jsum, tsum = out
+            impulses = (jsum, tsum)
+        else:
+            pos, vel = out
 
     vel = vel * (1.0 / (1.0 + dt * params.damping))[:, None]
     return ClothState(positions=pos, prev_positions=prev, velocities=vel,
-                      forces=jnp.zeros_like(state.forces))
+                      forces=jnp.zeros_like(state.forces)), impulses

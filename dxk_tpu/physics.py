@@ -53,6 +53,33 @@ class PhysicsSettings:
     # debug-mode NaN/Inf stage sweeps (VALIDATE analog, physics.cpp:807-926);
     # reports the first offending stage in StepInfo.validate_stage
     validate: bool = struct.field(pytree_node=False, default=False)
+    # two-way cloth-rigid coupling: the momentum the cloth pushout removes
+    # from particles is applied back to the colliding rigid bodies
+    # (ops/cloth.collide_particles). The reference has NO cloth-rigid
+    # collision at all — one-way pushout and this coupling both exceed it.
+    cloth_two_way: bool = struct.field(pytree_node=False, default=True)
+
+
+def _cloth_substep(scene, new_state, state, settings, dt, w, bodies):
+    """Cloth step + optional two-way coupling: the impulse/torque sums the
+    pushout takes from the particles are applied to the post-solve rigid
+    velocities (cloth runs last, physics.cpp:1354-1358 order)."""
+    from dxk_tpu.ops.cloth import cloth_step
+
+    two_way = settings.cloth_two_way
+    cl, imp = cloth_step(
+        scene.cloth, state.cloth, settings, scene.global_ff_force, dt,
+        world=w, hulls=scene.hulls, heightfield=scene.heightfield,
+        bodies=bodies if two_way else None,
+        colbody=scene.colliders.body if two_way else None)
+    new_state = new_state.replace(cloth=cl)
+    if imp is not None:
+        jsum, tsum = imp
+        dv = jsum * bodies.inv_mass[:, None]
+        dw = jnp.einsum("nij,nj->ni", bodies.inv_inertia, tsum)
+        new_state = new_state.replace(lin_vel=new_state.lin_vel + dv,
+                                      ang_vel=new_state.ang_vel + dw)
+    return new_state
 
 
 def _pair_params(w, idx):
@@ -336,10 +363,8 @@ def physics_step(scene: Scene, state: State, settings: PhysicsSettings,
 
     # 8: cloth (w = this step's world colliders for cloth-vs-rigid pushout)
     if scene.cloth is not None and state.cloth is not None:
-        from dxk_tpu.ops.cloth import cloth_step
-        new_state = new_state.replace(cloth=cloth_step(
-            scene.cloth, state.cloth, settings, scene.global_ff_force, dt,
-            world=w, hulls=scene.hulls, heightfield=scene.heightfield))
+        new_state = _cloth_substep(scene, new_state, state, settings, dt, w,
+                                   bodies)
 
     info = StepInfo(
         num_broadphase_overlaps=num_overlaps,
@@ -464,10 +489,8 @@ def _physics_step_fused(scene, state, settings, dt, controls, tracker,
         tracker.check("integrated_state", (new_state.pos, new_state.rot))
 
     if scene.cloth is not None and state.cloth is not None:
-        from dxk_tpu.ops.cloth import cloth_step
-        new_state = new_state.replace(cloth=cloth_step(
-            scene.cloth, state.cloth, settings, scene.global_ff_force, dt,
-            world=w, hulls=scene.hulls, heightfield=scene.heightfield))
+        new_state = _cloth_substep(scene, new_state, state, settings, dt, w,
+                                   bodies)
 
     # hf pseudo-group rows have no collider pair: pad with (-1, -1) so
     # contact_pairs stays index-aligned with contact_mask/contact_impulse

@@ -148,3 +148,38 @@ class TestClothRigidCollision:
     def test_zero_thickness_passes_through(self):
         dmin = self._drape_dmin(self._scene(thickness=0.0))
         assert dmin < 0.75                # swings straight through
+
+
+class TestTwoWayCoupling:
+    """Two-way cloth-rigid coupling (round 3): the momentum the pushout
+    removes from particles is applied back to the colliding body. Oracle:
+    a free gravity-less sphere touched only by the swinging sheet acquires
+    velocity iff coupling is on (it interacts with nothing else, so its
+    velocity is exactly zero one-way)."""
+
+    def _scene(self):
+        b = SceneBuilder()
+        sp = b.add_body(position=(0.0, 1.5, 0.0), gravity_factor=0.0)
+        b.add_sphere_collider(sp, (0, 0, 0), 0.8)
+        b.add_cloth(width=2.0, height=2.0, grid_x=8, grid_y=8,
+                    total_mass=2.0, transform_pos=(0, 3, 0),
+                    thickness=0.05)
+        return b.finalize()
+
+    def _run(self, two_way, steps=300):
+        scene = self._scene()
+        settings = PhysicsSettings(cloth_two_way=two_way)
+        state = scene.initial_state()
+        step = jax.jit(lambda s: physics_step(scene, s, settings,
+                                              1 / 120)[0])
+        for _ in range(steps):
+            state = step(state)
+        assert np.all(np.isfinite(np.asarray(state.pos)))
+        assert np.all(np.isfinite(np.asarray(state.cloth.positions)))
+        return float(np.abs(np.asarray(state.lin_vel[0])).max()), state
+
+    def test_body_feels_cloth(self):
+        v_on, st_on = self._run(True)
+        v_off, _ = self._run(False)
+        assert v_off == 0.0                  # one-way: untouched
+        assert v_on > 1e-4                   # two-way: momentum transferred

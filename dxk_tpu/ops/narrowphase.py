@@ -1000,14 +1000,47 @@ def cylinder_cylinder_contact(aa, ab, ar, ba, bb, br):
     return pts, dps, nrm, cnt, hit
 
 
-def sphere_hull_contact(sc, sr, hp, hq, verts, vmask):
-    return _gjk_epa_point(support_sphere, support_hull, (sc, sr),
-                          (hp, hq, verts, vmask))
+def _hull_local_lists(verts, fnorm, foff, fmask):
+    """Static vert/plane lists for the cm hull cores (padded verts
+    duplicate vertex 0 — harmless for a support argmax)."""
+    V = verts.shape[0]
+    vlist = [(verts[i, 0], verts[i, 1], verts[i, 2]) for i in range(V)]
+    F = fnorm.shape[0]
+    planes = [((fnorm[i, 0], fnorm[i, 1], fnorm[i, 2]), foff[i])
+              for i in range(F)]
+    pvalid = [fmask[i] for i in range(F)]
+    return vlist, planes, pvalid
 
 
-def capsule_hull_contact(aa, ab, ar, hp, hq, verts, vmask):
-    return _gjk_epa_point(support_capsule, support_hull, (aa, ab, ar),
-                          (hp, hq, verts, vmask))
+def sphere_hull_contact(sc, sr, hp, hq, verts, vmask, fnorm, foff, fmask):
+    """collision_narrow.cpp:496-522 behavior; round-3 redesign: the EPA is
+    replaced by distance-GJK on (center point, hull) — exact because a
+    sphere is its center Minkowski-swept by a ball — plus an exact
+    face-plane MTV for center-inside-hull (ops/pallas/cm_hull.py)."""
+    from dxk_tpu.ops.pallas.cm_hull import sphere_hull_core
+    p_l = quat_inv_rotate(hq, sc - hp)
+    vlist, planes, pvalid = _hull_local_lists(verts, fnorm, foff, fmask)
+    pt, depth, nrm, hit = sphere_hull_core(
+        (p_l[0], p_l[1], p_l[2]), sr, vlist, planes, pvalid)
+    point = quat_rotate(hq, jnp.stack(pt)) + hp
+    normal = quat_rotate(hq, jnp.stack(nrm))
+    return _one_point(point, depth, normal, hit)
+
+
+def capsule_hull_contact(aa, ab, ar, hp, hq, verts, vmask, fnorm, foff,
+                         fmask):
+    """collision_narrow.cpp:792-820 behavior; round-3 redesign like
+    sphere_hull_contact (segment swept by a ball — exact)."""
+    from dxk_tpu.ops.pallas.cm_hull import capsule_hull_core
+    a_l = quat_inv_rotate(hq, aa - hp)
+    b_l = quat_inv_rotate(hq, ab - hp)
+    vlist, planes, pvalid = _hull_local_lists(verts, fnorm, foff, fmask)
+    pt, depth, nrm, hit = capsule_hull_core(
+        (a_l[0], a_l[1], a_l[2]), (b_l[0], b_l[1], b_l[2]), ar,
+        vlist, planes, pvalid)
+    point = quat_rotate(hq, jnp.stack(pt)) + hp
+    normal = quat_rotate(hq, jnp.stack(nrm))
+    return _one_point(point, depth, normal, hit)
 
 
 def cylinder_hull_contact(aa, ab, ar, hp, hq, verts, vmask):
@@ -1015,9 +1048,65 @@ def cylinder_hull_contact(aa, ab, ar, hp, hq, verts, vmask):
                           (hp, hq, verts, vmask))
 
 
-def box_hull_contact(bc, bh, bq, hp, hq, verts, vmask):
-    return _gjk_epa_point(support_box, support_hull, (bc, bh, bq),
-                          (hp, hq, verts, vmask))
+def box_hull_contact(bc, bh, bq, hp, hq, verts, vmask, fnorm, foff, fmask):
+    """collision_narrow.cpp:1150-1178 (GJK+EPA single contact), plus a
+    face-axis SAT sanity guard (round 3): with a huge box (e.g. a 20x1x20
+    ground slab) against a small hull, the 20-iteration-capped EPA can
+    return a catastrophically wrong "best approximation" (measured: depth
+    20.4 along +x for a resting contact of true depth 5e-4 along +y) whose
+    Baumgarte bias launches bodies at 100+ m/s. The exact interval-overlap
+    MTV over {3 box axes, hull face normals} is computed in closed form;
+    both it and EPA upper-bound the true MTV, so taking the smaller depth
+    never degrades a converged EPA result and replaces a diverged one."""
+    pts, dps, nrm, cnt, hit = _gjk_epa_point(
+        support_box, support_hull, (bc, bh, bq), (hp, hq, verts, vmask))
+
+    wv = quat_rotate(hq[None, :], verts) + hp           # world hull verts
+
+    def hull_interval(n):
+        s = wv @ n
+        mn = jnp.min(jnp.where(vmask, s, 3.4e38))
+        mx = jnp.max(jnp.where(vmask, s, -3.4e38))
+        return mn, mx
+
+    def box_interval(n):
+        r = jnp.sum(bh * jnp.abs(quat_inv_rotate(bq, n)))
+        c = dot(bc, n)
+        return c - r, c + r
+
+    best_ov = jnp.float32(3.4e38)
+    best_n = _UP                                        # points box -> hull
+
+    def consider(best_ov, best_n, n, valid):
+        mna, mxa = box_interval(n)
+        mnb, mxb = hull_interval(n)
+        d1 = mxa - mnb                                  # push hull along +n
+        d2 = mxb - mna                                  # push hull along -n
+        ov = jnp.minimum(d1, d2)
+        nd = jnp.where(d1 <= d2, 1.0, -1.0)[..., None] * n
+        ov = jnp.where(valid, ov, 3.4e38)
+        take = ov < best_ov
+        return jnp.where(take, ov, best_ov), jnp.where(take, nd, best_n)
+
+    eyeq = quat_to_mat3(bq)                             # box axes as columns
+    for i in range(3):
+        best_ov, best_n = consider(best_ov, best_n, eyeq[:, i],
+                                   jnp.bool_(True))
+    wfn = quat_rotate(hq[None, :], fnorm)               # hull face normals
+    for f in range(fnorm.shape[0]):
+        best_ov, best_n = consider(best_ov, best_n, wfn[f], fmask[f])
+
+    # replace EPA only when it is grossly worse than the face-axis bound
+    use_guard = hit & (dps[0] > 1.5 * best_ov + 0.01)
+    g_normal = best_n
+    sup_h = wv[jnp.argmax(jnp.where(vmask, wv @ (-g_normal), -3.4e38))]
+    g_point = sup_h + 0.5 * best_ov * g_normal
+    g_depth = best_ov
+
+    nrm = jnp.where(use_guard, g_normal, nrm)
+    pts = jnp.where(use_guard, pts.at[0].set(g_point), pts)
+    dps = jnp.where(use_guard, dps.at[0].set(g_depth), dps)
+    return pts, dps, nrm, cnt, hit
 
 
 def _support_polygon(world_verts, mask, n, amax, ext, centroid):

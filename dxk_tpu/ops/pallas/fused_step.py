@@ -45,9 +45,13 @@ from dxk_tpu.ops.pallas.batched_solver import (
 COL_PARAMS = 11
 
 # sphere-sphere/capsule/cylinder/box, capsule-capsule/cylinder/box,
-# cylinder-cylinder/box (analytic, round 3), box-box
-CM_RECIPES = {(0, 0), (0, 1), (0, 2), (0, 3),
-              (1, 1), (1, 2), (1, 3), (2, 2), (2, 3), (3, 3)}
+# cylinder-cylinder/box (analytic, round 3), box-box, sphere/capsule-hull
+# (distance-GJK + face-plane MTV, round 3)
+CM_RECIPES = {(0, 0), (0, 1), (0, 2), (0, 3), (0, 4),
+              (1, 1), (1, 2), (1, 3), (1, 4), (2, 2), (2, 3), (3, 3)}
+
+# native hull recipes need the hull's static vert/plane tables per row
+HULL_RECIPES = {(0, 4), (1, 4)}
 
 
 def fused2_eligible(scene) -> bool:
@@ -81,11 +85,31 @@ def _group_static(scene):
         ca, cb2 = pairs[:, 0], pairs[:, 1]
         pf = np.clip(np.sqrt(fric[ca] * fric[cb2]), 0.0, 1.0)
         pr = np.clip(np.maximum(rest[ca], rest[cb2]), 0.0, 1.0)
+        hullv = hullp = None
+        if key in HULL_RECIPES:
+            # static local vert/plane tables per pair row (side b is the
+            # hull — higher type id): verts (3V, Pg) comp-minor rows,
+            # planes (5F, Pg) rows [nx, ny, nz, off, mask] per face
+            hid = np.asarray(scene.colliders.hull_id)[cb2]
+            hv = np.asarray(scene.hulls.vertices)[hid]        # (Pg, V, 3)
+            hn = np.asarray(scene.hulls.face_normals)[hid]    # (Pg, F, 3)
+            ho = np.asarray(scene.hulls.face_offsets)[hid]    # (Pg, F)
+            hm = np.asarray(scene.hulls.face_mask)[hid]       # (Pg, F)
+            hullv = np.ascontiguousarray(
+                hv.transpose(1, 2, 0).reshape(-1, len(cb2))
+            ).astype(np.float32)
+            pp = np.concatenate(
+                [hn, ho[..., None], hm[..., None].astype(np.float32)],
+                axis=2)                                       # (Pg, F, 5)
+            hullp = np.ascontiguousarray(
+                pp.transpose(1, 2, 0).reshape(-1, len(cb2))
+            ).astype(np.float32)
         out.append(dict(
             pg=pairs.shape[0], k=k, ta=ta, tb=tb, native=key in CM_RECIPES,
             col_a=ca.tolist(), col_b=cb2.tolist(),
             body_a=body_of[ca].tolist(), body_b=body_of[cb2].tolist(),
             fric=pf.astype(np.float32), rest=pr.astype(np.float32),
+            hullv=hullv, hullp=hullp,
             phase=int(g.phase)))
     # heightfield terrain contacts enter as a prep-passed pseudo-group:
     # one row per collider x 4 points, body_a = the collider's owner
@@ -100,7 +124,8 @@ def _group_static(scene):
             pg=cC, k=4, ta=-1, tb=-1, native=False,
             col_a=[], col_b=[],
             body_a=body_list, body_b=[scene.num_bodies] * cC,
-            fric=None, rest=None, phase=max_ph + 1))
+            fric=None, rest=None, hullv=None, hullp=None,
+            phase=max_ph + 1))
     return out
 
 
@@ -116,10 +141,12 @@ def _gather_params(onehot, cols_tab, L):
     return [g[:, i * L:(i + 1) * L] for i in range(COL_PARAMS)]
 
 
-def _narrow_native(meta, pa, pb):
+def _narrow_native(meta, pa, pb, hulls=None):
     """Dispatch a cm recipe. pa/pb: 11-param lists (a3, b3, r, q4) per
     side, ordered so side a has the LOWER shape type (the builder's
-    bucketing guarantee). Returns (pts[K] v3, dps[K], normal, mask[K])."""
+    bucketing guarantee). hulls: (verts (3V, Pg), planes (5F, Pg)) static
+    tables for hull recipes. Returns (pts[K] v3, dps[K], normal,
+    mask[K])."""
     ta, tb = meta["ta"], meta["tb"]
     a3 = tuple(pa[0:3])
     b3a = tuple(pa[3:6])
@@ -154,6 +181,35 @@ def _narrow_native(meta, pa, pb):
         return cm.cylinder_box_cm(a3, b3a, ra, a3b, b3b, qb)
     if key == (3, 3):
         return cm.box_box_cm(a3, b3a, qa, a3b, b3b, qb)
+    if key in HULL_RECIPES:
+        from dxk_tpu.ops.pallas.cm_hull import (capsule_hull_core,
+                                                sphere_hull_core)
+        hv, hp = hulls
+        V = hv.shape[0] // 3
+        F = hp.shape[0] // 5
+
+        def row(t, r):
+            return jnp.transpose(t[r:r + 1, :], (1, 0))     # (Pg, 1)
+
+        vlist = [(row(hv, 3 * i), row(hv, 3 * i + 1), row(hv, 3 * i + 2))
+                 for i in range(V)]
+        planes = [((row(hp, 5 * f), row(hp, 5 * f + 1), row(hp, 5 * f + 2)),
+                   row(hp, 5 * f + 3)) for f in range(F)]
+        pvalid = [row(hp, 5 * f + 4) > 0.5 for f in range(F)]
+
+        # hull-local frame (hull = side b: position a3b, rotation qb)
+        def to_local(p):
+            return cm.quat_inv_rotate_cm(qb, cm._sub(p, a3b))
+
+        if key == (0, 4):
+            pt, dp, nrm, hit = sphere_hull_core(
+                to_local(a3), ra, vlist, planes, pvalid)
+        else:
+            pt, dp, nrm, hit = capsule_hull_core(
+                to_local(a3), to_local(b3a), ra, vlist, planes, pvalid)
+        point = cm._add(cm.quat_rotate_cm(qb, pt), a3b)
+        normal = cm.quat_rotate_cm(qb, nrm)
+        return [point], [dp], normal, [hit]
     raise AssertionError(f"no cm recipe for {key}")
 
 
@@ -251,7 +307,7 @@ def _fused_core(metas, joints, nbody, L, num_iterations, omega,
                 inv_dt,
                 vw0, invm_t, invI_t, pos_t, idg_joint,
                 cols_tab, group_onehots, group_incidence, group_fricrest,
-                passed_preps, joint_ts, sequential=False):
+                passed_preps, joint_ts, group_hull=None, sequential=False):
     """The whole contact pipeline on comp-major arrays with L env lanes.
 
     sequential=True runs the solve in reference-exact sequential-impulse
@@ -295,7 +351,11 @@ def _fused_core(metas, joints, nbody, L, num_iterations, omega,
         gb = jnp.concatenate([group_onehots[g][1] for g in gl], axis=0)
         pa = _gather_params(ga, cols_tab, L)
         pb = _gather_params(gb, cols_tab, L)
-        pts, dps, normal, masks = _narrow_native(metas[gl[0]], pa, pb)
+        hulls = None
+        if key in HULL_RECIPES:
+            hulls = (jnp.concatenate([group_hull[g][0] for g in gl], axis=1),
+                     jnp.concatenate([group_hull[g][1] for g in gl], axis=1))
+        pts, dps, normal, masks = _narrow_native(metas[gl[0]], pa, pb, hulls)
         off = 0
         for g in gl:
             sl = slice(off, off + metas[g]["pg"])
@@ -512,6 +572,9 @@ def make_fused_step_solver(scene, num_iterations, omega=1.0,
         fricrest = [
             (jnp.asarray(m["fric"])[:, None], jnp.asarray(m["rest"])[:, None])
             if m["native"] else None for m in metas]
+        hull_tabs = [
+            (jnp.asarray(m["hullv"]), jnp.asarray(m["hullp"]))
+            if m.get("hullv") is not None else None for m in metas]
         joint_ts = [
             jnp.transpose(pack_joint_type(
                 name, jax.tree_util.tree_map(lambda x: x[None], prep)),
@@ -522,7 +585,7 @@ def make_fused_step_solver(scene, num_iterations, omega=1.0,
             metas, joints, nbl, 1, num_iterations, omega, inv_dt,
             vw0, invm_t, invI_t, pos_t, idg_joint,
             cols_tab, onehots, incidence, fricrest, passed_fields,
-            joint_ts, sequential=sequential)
+            joint_ts, group_hull=hull_tabs, sequential=sequential)
         v_new = vw[:, 0:3]
         w_new = vw[:, 3:6]
         imps = []
@@ -641,17 +704,22 @@ def _make_kernel2(metas, joints, nb, ncol, num_iterations, omega,
         pos_ref = next(it)                     # (CB, 3N)
         col_ref = next(it)                     # (CB, 11C)
         idg_ref = next(it)                     # (6, NB) const
-        g_gat, g_sca, g_oh, g_fr, g_hbm = [], [], [], [], []
+        g_gat, g_sca, g_oh, g_fr, g_hbm, g_hull = [], [], [], [], [], []
         for m in metas:
             g_gat.append(next(it))
             g_sca.append(next(it))
             if m["native"]:
                 g_oh.append((next(it), next(it)))
                 g_fr.append(next(it))          # (2, Pg) const
+                if m["hullv"] is not None:
+                    g_hull.append((next(it), next(it)))
+                else:
+                    g_hull.append(None)
                 g_hbm.append(None)
             else:
                 g_oh.append(None)
                 g_fr.append(None)
+                g_hull.append(None)
                 g_hbm.append(next(it))
         joint_refs = [next(it) for _ in joints]
         vw_out = next(it)
@@ -705,12 +773,15 @@ def _make_kernel2(metas, joints, nb, ncol, num_iterations, omega,
             (jnp.transpose(g_fr[g][0:1, :], (1, 0)),
              jnp.transpose(g_fr[g][1:2, :], (1, 0)))
             if m["native"] else None for g, m in enumerate(metas)]
+        hull_tabs = [
+            (g_hull[g][0][:, :], g_hull[g][1][:, :])
+            if g_hull[g] is not None else None for g in range(n_groups)]
 
         vw, imp_out, live = _fused_core(
             metas, joints, nb, CB, num_iterations, omega, inv_dt,
             vw0, invm_t, invI_t, pos_t, idg_joint,
             cols_tab, onehots, incidence, fricrest, passed_read,
-            joint_ts, sequential=sequential)
+            joint_ts, group_hull=hull_tabs, sequential=sequential)
 
         out_rows = jnp.concatenate(
             [vw[:, c * CB:(c + 1) * CB] for c in range(6)], axis=0)
@@ -798,6 +869,10 @@ def _fused_step_batched(scene, metas, joints, bodies, w_pack,
             in_specs += [const_spec((m["pg"], ncol)),
                          const_spec((m["pg"], ncol)),
                          const_spec((2, m["pg"]))]
+            if m["hullv"] is not None:
+                inputs += [jnp.asarray(m["hullv"]), jnp.asarray(m["hullp"])]
+                in_specs += [const_spec(m["hullv"].shape),
+                             const_spec(m["hullp"].shape)]
         else:
             t = _pack_passed(passed[pi], m["pg"], m["k"])
             pi += 1

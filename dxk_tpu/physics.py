@@ -123,14 +123,20 @@ def _contacts_for_group(scene, w, group, pairs, mask):
     elif tb == SHAPE_HULL:
         hv = scene.hulls.vertices[w.hull_id[ib]]
         hm = scene.hulls.vertex_mask[w.hull_id[ib]]
+        hfn = scene.hulls.face_normals[w.hull_id[ib]]
+        hfo = scene.hulls.face_offsets[w.hull_id[ib]]
+        hfm = scene.hulls.face_mask[w.hull_id[ib]]
         if ta == SHAPE_SPHERE:
-            out = v(np_ops.sphere_hull_contact)(a_a, a_r, b_a, b_q, hv, hm)
+            out = v(np_ops.sphere_hull_contact)(a_a, a_r, b_a, b_q, hv, hm,
+                                                hfn, hfo, hfm)
         elif ta == SHAPE_CAPSULE:
-            out = v(np_ops.capsule_hull_contact)(a_a, a_b, a_r, b_a, b_q, hv, hm)
+            out = v(np_ops.capsule_hull_contact)(a_a, a_b, a_r, b_a, b_q,
+                                                 hv, hm, hfn, hfo, hfm)
         elif ta == SHAPE_CYLINDER:
             out = v(np_ops.cylinder_hull_contact)(a_a, a_b, a_r, b_a, b_q, hv, hm)
         elif ta == SHAPE_BOX:
-            out = v(np_ops.box_hull_contact)(a_a, a_b, a_q, b_a, b_q, hv, hm)
+            out = v(np_ops.box_hull_contact)(a_a, a_b, a_q, b_a, b_q, hv, hm,
+                                             hfn, hfo, hfm)
         else:  # hull-hull
             av = scene.hulls.vertices[w.hull_id[ia]]
             am = scene.hulls.vertex_mask[w.hull_id[ia]]

@@ -347,3 +347,33 @@ def test_cylinder_cylinder_native_matches_jacobi():
     assert float(jnp.abs(ja.pos - fu.pos).max()) < 1e-5
     assert float(jnp.abs(ja.lin_vel - fu.lin_vel).max()) < 1e-4
     assert float(jnp.abs(ja.ang_vel - fu.ang_vel).max()) < 1e-4
+
+
+def test_hull_native_matches_jacobi():
+    """Round 3: (0,4)/(1,4) are native cm recipes (distance-GJK + face
+    MTV) — a sphere+capsule-on-hull scene must match the XLA path through
+    the kernel (same shared cores, so fp-epsilon agreement)."""
+    import numpy as _np
+    rng = _np.random.default_rng(2)
+    b = SceneBuilder()
+    g = b.add_static()
+    b.add_box_collider(g, (0, -1, 0), (20, 1, 20))
+    pts = rng.normal(size=(10, 3)).astype(_np.float32) * 0.35
+    hid = b.add_hull_geometry_from_mesh(pts)
+    h = b.add_body(position=(0, 0.6, 0))
+    b.add_hull_collider(h, hid)
+    s = b.add_body(position=(0.1, 1.6, 0.05))
+    b.add_sphere_collider(s, (0, 0, 0), 0.3)
+    c = b.add_body(position=(-0.1, 2.4, 0.0))
+    b.add_capsule_collider(c, (-0.3, 0, 0), (0.3, 0, 0), 0.2)
+    scene = b.finalize()
+    from dxk_tpu.ops.pallas.fused_step import CM_RECIPES, fused2_eligible
+    assert (0, 4) in CM_RECIPES and (1, 4) in CM_RECIPES
+    assert fused2_eligible(scene)
+
+    st = _batched_state(scene)
+    ja = _run(scene, st, "jacobi", 2, 10)
+    fu = _run(scene, st, "fused", 2, 10)
+    assert float(jnp.abs(ja.pos - fu.pos).max()) < 1e-5
+    assert float(jnp.abs(ja.lin_vel - fu.lin_vel).max()) < 1e-4
+    assert float(jnp.abs(ja.ang_vel - fu.ang_vel).max()) < 1e-4

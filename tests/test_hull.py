@@ -149,3 +149,128 @@ def test_hull_hull_vertex_contact_stays_single():
         jnp.asarray([0.0, 1.30, 0.0]), q, verts, mask)
     assert bool(hit)
     assert int(cnt) == 1, int(cnt)
+
+
+class TestMarginGJKHullContacts:
+    """Round 3: sphere-hull and capsule-hull replace GJK+EPA with
+    distance-GJK on the ball-swept core (EXACT for these pairs) plus a
+    face-plane MTV for core-inside-hull. Pinned against the EPA reference
+    on a random soup (hit booleans must agree exactly; depth/normal to
+    EPA's own tolerance)."""
+
+    def _hull(self):
+        rng = np.random.default_rng(1)
+        b = SceneBuilder()
+        pts = rng.normal(size=(12, 3)).astype(np.float32) * 0.4
+        hid = b.add_hull_geometry_from_mesh(pts)
+        bd = b.add_body(position=(0, 5, 0))
+        b.add_hull_collider(bd, hid)
+        scene = b.finalize()
+        H = scene.hulls
+        return (jnp.asarray(H.vertices[hid]), jnp.asarray(H.vertex_mask[hid]),
+                jnp.asarray(H.face_normals[hid]),
+                jnp.asarray(H.face_offsets[hid]),
+                jnp.asarray(H.face_mask[hid]))
+
+    def test_sphere_hull_vs_epa(self):
+        from dxk_tpu.ops import narrowphase as NB
+        from dxk_tpu.ops.gjk import support_hull, support_sphere
+        from dxk_tpu.ops.narrowphase import _gjk_epa_point
+
+        hv, hm, fn, fo, fm = self._hull()
+        N = 256
+        ks = jax.random.split(jax.random.PRNGKey(0), 6)
+        hp = jnp.zeros((N, 3))
+        hq = jax.random.uniform(ks[5], (N, 4), jnp.float32, -1, 1)
+        hq = hq / jnp.linalg.norm(hq, axis=-1, keepdims=True)
+        sc = jax.random.uniform(ks[0], (N, 3), jnp.float32, -1.0, 1.0)
+        sr = jax.random.uniform(ks[1], (N,), jnp.float32, 0.1, 0.5)
+        bcast = lambda x: jnp.broadcast_to(x, (N,) + x.shape)
+
+        pts, dps, nrm, cnt, hit = jax.vmap(NB.sphere_hull_contact)(
+            sc, sr, hp, hq, bcast(hv), bcast(hm), bcast(fn), bcast(fo),
+            bcast(fm))
+        rpts, rdps, rnrm, rcnt, rhit = jax.vmap(
+            lambda s, r, p, q, v, m: _gjk_epa_point(
+                support_sphere, support_hull, (s, r), (p, q, v, m)))(
+            sc, sr, hp, hq, bcast(hv), bcast(hm))
+
+        hit = np.asarray(hit)
+        assert np.array_equal(hit, np.asarray(rhit))
+        both = hit & (np.asarray(rdps)[:, 0] < 0.3)
+        nd = (np.asarray(nrm) * np.asarray(rnrm)).sum(-1)
+        dd = np.abs(np.asarray(dps)[:, 0] - np.asarray(rdps)[:, 0])
+        assert ((nd > 0.9) | (dd < 0.01))[both].mean() > 0.95
+        assert dd[both].max() < 0.05
+
+    def test_capsule_hull_vs_epa(self):
+        from dxk_tpu.ops import narrowphase as NB
+        from dxk_tpu.ops.gjk import support_capsule, support_hull
+        from dxk_tpu.ops.narrowphase import _gjk_epa_point
+
+        hv, hm, fn, fo, fm = self._hull()
+        N = 256
+        ks = jax.random.split(jax.random.PRNGKey(2), 6)
+        hp = jnp.zeros((N, 3))
+        hq = jax.random.uniform(ks[5], (N, 4), jnp.float32, -1, 1)
+        hq = hq / jnp.linalg.norm(hq, axis=-1, keepdims=True)
+        aa = jax.random.uniform(ks[0], (N, 3), jnp.float32, -1.2, 1.2)
+        ab = aa + jax.random.uniform(ks[1], (N, 3), jnp.float32, -1.0, 1.0)
+        ar = jax.random.uniform(ks[2], (N,), jnp.float32, 0.1, 0.4)
+        bcast = lambda x: jnp.broadcast_to(x, (N,) + x.shape)
+
+        pts, dps, nrm, cnt, hit = jax.vmap(NB.capsule_hull_contact)(
+            aa, ab, ar, hp, hq, bcast(hv), bcast(hm), bcast(fn), bcast(fo),
+            bcast(fm))
+        rpts, rdps, rnrm, rcnt, rhit = jax.vmap(
+            lambda a, b2, r, p, q, v, m: _gjk_epa_point(
+                support_capsule, support_hull, (a, b2, r), (p, q, v, m)))(
+            aa, ab, ar, hp, hq, bcast(hv), bcast(hm))
+
+        hit = np.asarray(hit)
+        assert (hit == np.asarray(rhit)).mean() >= 0.99
+        both = hit & np.asarray(rhit)
+        nd = (np.asarray(nrm) * np.asarray(rnrm)).sum(-1)
+        dd = np.abs(np.asarray(dps)[:, 0] - np.asarray(rdps)[:, 0])
+        # exact tier: depth < radius means the segment core is OUTSIDE the
+        # hull, where distance-GJK is provably exact (EPA is the
+        # approximation there, tolerance = its 0.01 convergence threshold)
+        exact = both & (np.asarray(rdps)[:, 0] < np.asarray(ar) * 0.9)
+        assert ((nd > 0.9) | (dd < 0.01))[exact].mean() > 0.95
+        assert np.percentile(dd[exact], 95) < 0.02
+        # deep tier (segment inside the hull): sampled face-MTV fallback,
+        # bounded but approximate
+        deep = both & ~exact
+        if deep.any():
+            assert dd[deep].max() < 0.25
+
+
+def test_hull_on_huge_ground_box_stable_scan():
+    """Regression (round 3): with a huge ground slab (20x1x20) against a
+    small hull, the 20-iteration-capped EPA can return a wildly wrong MTV
+    (measured: depth 20.4 along +x for a true 5e-4 along +y), whose
+    Baumgarte bias launched the hull at 100+ m/s in scan mode. The
+    face-axis SAT sanity guard in box_hull_contact must keep the resting
+    cube pinned."""
+    cube = np.array([[x, y, z] for x in (-0.4, 0.4) for y in (-0.4, 0.4)
+                     for z in (-0.4, 0.4)], np.float32)
+    b = SceneBuilder()
+    g = b.add_static()
+    b.add_box_collider(g, (0, -1, 0), (20, 1, 20), friction=1.0)
+    hid = b.add_hull_geometry_from_mesh(cube)
+    h = b.add_body(position=(0, 0.45, 0))
+    b.add_hull_collider(h, hid, friction=1.0)
+    # a capsule dropped onto the cube perturbs it (the trajectory that
+    # exposed the EPA divergence)
+    c2 = b.add_body(position=(0.0, 2.0, -0.05))
+    b.add_capsule_collider(c2, (-0.25, 0, 0), (0.25, 0, 0), 0.18)
+    scene = b.finalize()
+    st = scene.initial_state()
+    step = jax.jit(lambda s: physics_step(
+        scene, s, PhysicsSettings(solver_mode="scan"), 1 / 120)[0])
+    for _ in range(480):
+        st = step(st)
+        assert float(jnp.abs(st.lin_vel).max()) < 20.0
+    p = np.asarray(st.pos)
+    assert np.isfinite(p).all()
+    assert abs(p[1, 1] - 0.4) < 0.05          # cube still resting

@@ -1043,154 +1043,84 @@ def capsule_hull_contact(aa, ab, ar, hp, hq, verts, vmask, fnorm, foff,
     return _one_point(point, depth, normal, hit)
 
 
-def cylinder_hull_contact(aa, ab, ar, hp, hq, verts, vmask):
-    return _gjk_epa_point(support_cylinder, support_hull, (aa, ab, ar),
-                          (hp, hq, verts, vmask))
+def _hull_world_topo(hp, hq, verts, pn, po, pm, lp, ll, ed, em, LM):
+    """World-space polytope lists (cm_polytope contract) from per-pair
+    hull tables (scene/hull_topology.py fields gathered per pair). Loops
+    are padded to LM (>= the table's LM) by repeating the last point."""
+    from dxk_tpu.ops.pallas import cm_polytope as cp
+    V, FU, LMh, EU = verts.shape[0], pn.shape[0], lp.shape[1], ed.shape[0]
+    hpt = (hp[0], hp[1], hp[2])
+    hqt = (hq[0], hq[1], hq[2], hq[3])
+    vlist = [(verts[i, 0], verts[i, 1], verts[i, 2]) for i in range(V)]
+    flist = [((pn[f, 0], pn[f, 1], pn[f, 2]), pm[f]) for f in range(FU)]
+    llist, llens = [], []
+    for f in range(FU):
+        pts = [(lp[f, l, 0], lp[f, l, 1], lp[f, l, 2]) for l in range(LMh)]
+        while len(pts) < LM:
+            pts.append(pts[-1])
+        llist.append(tuple(pts))
+        llens.append(ll[f])
+    elist = [((ed[e, 0], ed[e, 1], ed[e, 2]), em[e]) for e in range(EU)]
+    return cp.hull_topology_world(hpt, hqt, vlist, flist, llist, llens,
+                                  elist)
 
 
-def box_hull_contact(bc, bh, bq, hp, hq, verts, vmask, fnorm, foff, fmask):
-    """collision_narrow.cpp:1150-1178 (GJK+EPA single contact), plus a
-    face-axis SAT sanity guard (round 3): with a huge box (e.g. a 20x1x20
-    ground slab) against a small hull, the 20-iteration-capped EPA can
-    return a catastrophically wrong "best approximation" (measured: depth
-    20.4 along +x for a resting contact of true depth 5e-4 along +y) whose
-    Baumgarte bias launches bodies at 100+ m/s. The exact interval-overlap
-    MTV over {3 box axes, hull face normals} is computed in closed form;
-    both it and EPA upper-bound the true MTV, so taking the smaller depth
-    never degrades a converged EPA result and replaces a diverged one."""
-    pts, dps, nrm, cnt, hit = _gjk_epa_point(
-        support_box, support_hull, (bc, bh, bq), (hp, hq, verts, vmask))
-
-    wv = quat_rotate(hq[None, :], verts) + hp           # world hull verts
-
-    def hull_interval(n):
-        s = wv @ n
-        mn = jnp.min(jnp.where(vmask, s, 3.4e38))
-        mx = jnp.max(jnp.where(vmask, s, -3.4e38))
-        return mn, mx
-
-    def box_interval(n):
-        r = jnp.sum(bh * jnp.abs(quat_inv_rotate(bq, n)))
-        c = dot(bc, n)
-        return c - r, c + r
-
-    best_ov = jnp.float32(3.4e38)
-    best_n = _UP                                        # points box -> hull
-
-    def consider(best_ov, best_n, n, valid):
-        mna, mxa = box_interval(n)
-        mnb, mxb = hull_interval(n)
-        d1 = mxa - mnb                                  # push hull along +n
-        d2 = mxb - mna                                  # push hull along -n
-        ov = jnp.minimum(d1, d2)
-        nd = jnp.where(d1 <= d2, 1.0, -1.0)[..., None] * n
-        ov = jnp.where(valid, ov, 3.4e38)
-        take = ov < best_ov
-        return jnp.where(take, ov, best_ov), jnp.where(take, nd, best_n)
-
-    eyeq = quat_to_mat3(bq)                             # box axes as columns
-    for i in range(3):
-        best_ov, best_n = consider(best_ov, best_n, eyeq[:, i],
-                                   jnp.bool_(True))
-    wfn = quat_rotate(hq[None, :], fnorm)               # hull face normals
-    for f in range(fnorm.shape[0]):
-        best_ov, best_n = consider(best_ov, best_n, wfn[f], fmask[f])
-
-    # replace EPA only when it is grossly worse than the face-axis bound
-    use_guard = hit & (dps[0] > 1.5 * best_ov + 0.01)
-    g_normal = best_n
-    sup_h = wv[jnp.argmax(jnp.where(vmask, wv @ (-g_normal), -3.4e38))]
-    g_point = sup_h + 0.5 * best_ov * g_normal
-    g_depth = best_ov
-
-    nrm = jnp.where(use_guard, g_normal, nrm)
-    pts = jnp.where(use_guard, pts.at[0].set(g_point), pts)
-    dps = jnp.where(use_guard, dps.at[0].set(g_depth), dps)
-    return pts, dps, nrm, cnt, hit
+def _stack_manifold(pts, dps, nrm, masks):
+    """cm_polytope output -> the AoS (pts (4,3), dps (4,), nrm (3,), cnt,
+    hit) contract."""
+    cnt = masks[0].astype(jnp.int32)
+    for m in masks[1:]:
+        cnt = cnt + m.astype(jnp.int32)
+    hit = cnt > 0
+    return (jnp.stack([jnp.stack(p) for p in pts]), jnp.stack(dps),
+            jnp.stack(nrm), cnt, hit)
 
 
-def _support_polygon(world_verts, mask, n, amax, ext, centroid):
-    """Ordered (POLY_SLOTS, 3) polygon of the support set {v : dot(v, n) >=
-    amax - tol} (the hull's contact face/edge along n), CCW around n.
-    Returns (poly (8, 3), count ()). The support set of a convex hull is a
-    convex polygon, so angle-around-centroid ordering is valid."""
-    from dxk_tpu.core.maths import get_tangent
-    s = dot(world_verts, n)
-    tol = 1e-3 * (ext + 1e-3)
-    sel = mask & (s >= amax - tol)
-    cnt_all = jnp.sum(sel.astype(jnp.int32))
-    t1 = get_tangent(n)
-    t2 = cross(n, t1)
-    rel = world_verts - centroid
-    ang = jnp.arctan2(dot(rel, t2), dot(rel, t1))
-    ang = jnp.where(sel, ang, 3.4e38)        # dead verts sort last
-    order = jnp.argsort(ang)
-    poly = world_verts[order[:POLY_SLOTS]]
-    return poly, jnp.minimum(cnt_all, POLY_SLOTS)
+def cylinder_hull_contact(aa, ab, ar, hp, hq, verts, vmask, pn, po, pm,
+                          lp, ll, ed, em):
+    """collision_narrow.cpp:1045-1073 behavior (GJK+EPA single contact);
+    round-3 redesign: candidate-axis SAT with exact cylinder projection
+    intervals (ops/pallas/cm_polytope.py cylinder_hull_cm) — arithmetic
+    only, so it also runs inside the fused Pallas kernel."""
+    from dxk_tpu.ops.pallas.cm_polytope import cylinder_hull_cm
+    hw = _hull_world_topo(hp, hq, verts, pn, po, pm, lp, ll, ed, em,
+                          lp.shape[1])
+    pts, dps, nrm, hits = cylinder_hull_cm(
+        (aa[0], aa[1], aa[2]), (ab[0], ab[1], ab[2]), ar, hw)
+    return _one_point(jnp.stack(pts[0]), dps[0], jnp.stack(nrm), hits[0])
 
 
-def hull_hull_contact(ap, aq, averts, amask, bp, bq, bverts, bmask):
-    """hull-hull contact with a clipped multi-point manifold.
+def box_hull_contact(bc, bh, bq, hp, hq, verts, vmask, pn, po, pm,
+                     lp, ll, ed, em):
+    """collision_narrow.cpp:1150-1178 behavior; round-3 redesign: the
+    GJK+EPA single contact (whose 20-iteration cap diverged
+    catastrophically on high-aspect CSOs — docs/PERF_NOTES.md) is replaced
+    by the EXACT complete SAT over {box faces, hull faces, edge crosses}
+    plus a clipped <=4-point manifold (ops/pallas/cm_polytope.py) — both
+    stronger than the reference (exact MTV, stable flat-on-flat stacks)
+    and kernel-runnable."""
+    from dxk_tpu.ops.pallas.cm_polytope import box_hull_cm
+    LM = max(4, lp.shape[1])
+    hw = _hull_world_topo(hp, hq, verts, pn, po, pm, lp, ll, ed, em, LM)
+    out = box_hull_cm((bc[0], bc[1], bc[2]), (bh[0], bh[1], bh[2]),
+                      (bq[0], bq[1], bq[2], bq[3]), hw, LM)
+    return _stack_manifold(*out)
 
-    The reference emits a single EPA contact and leaves the manifold as a
-    TODO (collision_narrow.cpp:1558-1584); flat-on-flat hull stacks then
-    torque-jitter on one alternating point. Here, when both hulls present
-    >= 2 support vertices along the EPA normal (face or edge contact), the
-    incident support polygon of B is Sutherland-Hodgman-clipped against
-    the side planes of A's support polygon and reduced to <= 4 points —
-    the same machinery as box-box (ops/manifold.py). Vertex contacts keep
-    the single EPA point."""
-    pts1, dps1, nrm, cnt1, hit = _gjk_epa_point(
-        support_hull, support_hull, (ap, aq, averts, amask),
-        (bp, bq, bverts, bmask))
-    n = nrm
 
-    va = quat_rotate(aq[None, :], averts) + ap
-    vb = quat_rotate(bq[None, :], bverts) + bp
-    sa = jnp.where(amask, dot(va, n), -3.4e38)
-    sb = jnp.where(bmask, dot(vb, n), 3.4e38)
-    amax = jnp.max(sa)
-    bmin = jnp.min(sb)
-    ext_a = amax - jnp.min(jnp.where(amask, dot(va, n), 3.4e38))
-    ext_b = jnp.max(jnp.where(bmask, dot(vb, n), -3.4e38)) - bmin
-    ca = jnp.sum(jnp.where(amask[:, None], va, 0.0), axis=0) \
-        / jnp.maximum(jnp.sum(amask), 1)
-    cb = jnp.sum(jnp.where(bmask[:, None], vb, 0.0), axis=0) \
-        / jnp.maximum(jnp.sum(bmask), 1)
-
-    a_poly, na = _support_polygon(va, amask, n, amax, ext_a, ca)
-    b_poly, nb = _support_polygon(vb, bmask, -n, -bmin, ext_b, cb)
-
-    # reference face on A (normal n out of A); incident polygon = B's set
-    a_sup = va[jnp.argmax(sa)]
-    ref_plane = make_plane(a_sup, n)
-    poly_v = jnp.zeros((POLY_SLOTS, 3), va.dtype).at[:POLY_SLOTS].set(b_poly)
-    poly_d = -signed_distance(poly_v, ref_plane)
-    n_pts = nb
-
-    # clip against A's polygon side planes (interior is left of each CCW
-    # edge viewed from +n; unnormalized normals are fine — _clip_one_plane
-    # is scale-invariant). For na == 2 the two opposing edge planes cut B
-    # down to the shared segment (edge-edge / edge-face -> 2 points).
-    from dxk_tpu.ops.manifold import _clip_one_plane
-    for i in range(POLY_SLOTS):
-        # live edges: (i, i+1) for i < na-1, wrap edge (na-1, 0)
-        is_wrap = i == na - 1
-        end = jnp.where(is_wrap, a_poly[0], a_poly[(i + 1) % POLY_SLOTS])
-        side_n = cross(n, end - a_poly[i])
-        plane = make_plane(a_poly[i], side_n)
-        nv, nd, nn = _clip_one_plane(poly_v, poly_d, n_pts, plane)
-        use = i < na
-        poly_v = jnp.where(use, nv, poly_v)
-        poly_d = jnp.where(use, nd, poly_d)
-        n_pts = jnp.where(use, nn, n_pts)
-
-    poly_v, poly_d, n_pts = project_and_filter(poly_v, poly_d, n_pts,
-                                               ref_plane)
-    m_pts, m_dps, m_cnt = reduce_manifold(poly_v, poly_d, n_pts, n)
-
-    multi = hit & (na >= 2) & (nb >= 2) & (m_cnt >= 2)
-    pts = jnp.where(multi, m_pts, pts1)
-    dps = jnp.where(multi, m_dps, dps1)
-    cnt = jnp.where(multi, m_cnt, cnt1)
-    return pts, dps, nrm, cnt, hit
+def hull_hull_contact(ap, aq, averts, amask, apn, apo, apm, alp, all_, aed,
+                      aem, bp, bq, bverts, bmask, bpn, bpo, bpm, blp, bll,
+                      bed, bem):
+    """collision_narrow.cpp:1558-1584 behavior (where the multi-contact
+    manifold is an explicit reference TODO); round-3 redesign: exact
+    complete SAT over {faces of A, faces of B, edge crosses} + a clipped
+    <=4-point manifold from the build-time face loops
+    (ops/pallas/cm_polytope.py) — replaces the earlier GJK+EPA +
+    support-polygon-argsort path with one that is exact, stronger than
+    the reference, and kernel-runnable."""
+    from dxk_tpu.ops.pallas.cm_polytope import hull_hull_cm
+    LM = max(alp.shape[1], blp.shape[1])
+    hwa = _hull_world_topo(ap, aq, averts, apn, apo, apm, alp, all_, aed,
+                           aem, LM)
+    hwb = _hull_world_topo(bp, bq, bverts, bpn, bpo, bpm, blp, bll, bed,
+                           bem, LM)
+    return _stack_manifold(*hull_hull_cm(hwa, hwb))

@@ -71,8 +71,9 @@ TYPE_MAX_POINTS = {
     # narrowphase.cylinder_{cylinder,box}_contact) — K=2 would silently
     # truncate the ring in the fused prep-passed path (_pack_passed)
     (2, 2): 4, (2, 3): 4, (2, 4): 1,
-    (3, 3): 4, (3, 4): 1,
-    # hull-hull emits a clipped <=4-point manifold (hull_hull_contact)
+    # box-hull and hull-hull emit clipped <=4-point manifolds
+    # (cm_polytope SAT+clip, round 3)
+    (3, 3): 4, (3, 4): 4,
     (4, 4): 4,
 }
 

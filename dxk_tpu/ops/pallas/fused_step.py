@@ -46,12 +46,17 @@ COL_PARAMS = 11
 
 # sphere-sphere/capsule/cylinder/box, capsule-capsule/cylinder/box,
 # cylinder-cylinder/box (analytic, round 3), box-box, sphere/capsule-hull
-# (distance-GJK + face-plane MTV, round 3)
+# (distance-GJK + face-plane MTV, round 3), cylinder/box-hull + hull-hull
+# (SAT + clipped manifolds over build-time topology, round 3) —
+# ALL 15 type-pair buckets are in-kernel
 CM_RECIPES = {(0, 0), (0, 1), (0, 2), (0, 3), (0, 4),
-              (1, 1), (1, 2), (1, 3), (1, 4), (2, 2), (2, 3), (3, 3)}
+              (1, 1), (1, 2), (1, 3), (1, 4),
+              (2, 2), (2, 3), (2, 4), (3, 3), (3, 4), (4, 4)}
 
-# native hull recipes need the hull's static vert/plane tables per row
-HULL_RECIPES = {(0, 4), (1, 4)}
+# native hull recipes need static per-row hull tables: vert/plane tables
+# for the distance-GJK recipes, polytope-topology packs (cm_polytope) for
+# the SAT recipes, both sides' tables for hull-hull
+HULL_RECIPES = {(0, 4), (1, 4), (2, 4), (3, 4), (4, 4)}
 
 
 def fused2_eligible(scene) -> bool:
@@ -85,31 +90,73 @@ def _group_static(scene):
         ca, cb2 = pairs[:, 0], pairs[:, 1]
         pf = np.clip(np.sqrt(fric[ca] * fric[cb2]), 0.0, 1.0)
         pr = np.clip(np.maximum(rest[ca], rest[cb2]), 0.0, 1.0)
-        hullv = hullp = None
+        hull_tabs = hull_dims = None
         if key in HULL_RECIPES:
-            # static local vert/plane tables per pair row (side b is the
-            # hull — higher type id): verts (3V, Pg) comp-minor rows,
-            # planes (5F, Pg) rows [nx, ny, nz, off, mask] per face
-            hid = np.asarray(scene.colliders.hull_id)[cb2]
-            hv = np.asarray(scene.hulls.vertices)[hid]        # (Pg, V, 3)
-            hn = np.asarray(scene.hulls.face_normals)[hid]    # (Pg, F, 3)
-            ho = np.asarray(scene.hulls.face_offsets)[hid]    # (Pg, F)
-            hm = np.asarray(scene.hulls.face_mask)[hid]       # (Pg, F)
-            hullv = np.ascontiguousarray(
-                hv.transpose(1, 2, 0).reshape(-1, len(cb2))
-            ).astype(np.float32)
-            pp = np.concatenate(
-                [hn, ho[..., None], hm[..., None].astype(np.float32)],
-                axis=2)                                       # (Pg, F, 5)
-            hullp = np.ascontiguousarray(
-                pp.transpose(1, 2, 0).reshape(-1, len(cb2))
-            ).astype(np.float32)
+            h = scene.hulls
+            hull_dims = (int(h.vertices.shape[1]),
+                         int(h.face_normals.shape[1]),
+                         int(h.poly_normals.shape[1]),
+                         int(h.loop_pts.shape[2]),
+                         int(h.edge_dirs.shape[1]))        # V, F, FU, LM, EU
+
+            def vert_tab(cols):
+                """(3V, Pg) comp-minor local vertex rows."""
+                hid = np.asarray(scene.colliders.hull_id)[cols]
+                hv = np.asarray(h.vertices)[hid]              # (Pg, V, 3)
+                return np.ascontiguousarray(
+                    hv.transpose(1, 2, 0).reshape(-1, len(cols))
+                ).astype(np.float32)
+
+            def plane_tab(cols):
+                """(5F, Pg) triangle-plane rows [nx, ny, nz, off, mask]."""
+                hid = np.asarray(scene.colliders.hull_id)[cols]
+                hn = np.asarray(h.face_normals)[hid]
+                ho = np.asarray(h.face_offsets)[hid]
+                hm = np.asarray(h.face_mask)[hid]
+                pp = np.concatenate(
+                    [hn, ho[..., None], hm[..., None].astype(np.float32)],
+                    axis=2)                                   # (Pg, F, 5)
+                return np.ascontiguousarray(
+                    pp.transpose(1, 2, 0).reshape(-1, len(cols))
+                ).astype(np.float32)
+
+            def topo_tab(cols):
+                """Polytope-topology pack for the SAT recipes: rows =
+                [pn (3FU) | po (FU) | pm (FU) | loop_pts (3*FU*LM) |
+                loop_len (FU) | edge_dirs (3EU) | edge_mask (EU)]."""
+                hid = np.asarray(scene.colliders.hull_id)[cols]
+                P = len(cols)
+
+                def cm(x):   # (P, ..., c) -> comp-minor rows (rows, P)
+                    return np.ascontiguousarray(
+                        np.asarray(x).reshape(P, -1).T).astype(np.float32)
+                parts = [
+                    cm(np.asarray(h.poly_normals)[hid]),       # (3FU, P)
+                    cm(np.asarray(h.poly_offsets)[hid]),       # (FU, P)
+                    cm(np.asarray(h.poly_mask)[hid]
+                       .astype(np.float32)),                   # (FU, P)
+                    cm(np.asarray(h.loop_pts)[hid]),           # (3FU*LM, P)
+                    cm(np.asarray(h.loop_len)[hid]
+                       .astype(np.float32)),                   # (FU, P)
+                    cm(np.asarray(h.edge_dirs)[hid]),          # (3EU, P)
+                    cm(np.asarray(h.edge_mask)[hid]
+                       .astype(np.float32)),                   # (EU, P)
+                ]
+                return np.concatenate(parts, axis=0)
+
+            if key in {(0, 4), (1, 4)}:
+                hull_tabs = [vert_tab(cb2), plane_tab(cb2)]
+            elif key in {(2, 4), (3, 4)}:
+                hull_tabs = [vert_tab(cb2), topo_tab(cb2)]
+            else:                                             # hull-hull
+                hull_tabs = [vert_tab(ca), topo_tab(ca),
+                             vert_tab(cb2), topo_tab(cb2)]
         out.append(dict(
             pg=pairs.shape[0], k=k, ta=ta, tb=tb, native=key in CM_RECIPES,
             col_a=ca.tolist(), col_b=cb2.tolist(),
             body_a=body_of[ca].tolist(), body_b=body_of[cb2].tolist(),
             fric=pf.astype(np.float32), rest=pr.astype(np.float32),
-            hullv=hullv, hullp=hullp,
+            hull_tabs=hull_tabs, hull_dims=hull_dims,
             phase=int(g.phase)))
     # heightfield terrain contacts enter as a prep-passed pseudo-group:
     # one row per collider x 4 points, body_a = the collider's owner
@@ -124,7 +171,7 @@ def _group_static(scene):
             pg=cC, k=4, ta=-1, tb=-1, native=False,
             col_a=[], col_b=[],
             body_a=body_list, body_b=[scene.num_bodies] * cC,
-            fric=None, rest=None, hullv=None, hullp=None,
+            fric=None, rest=None, hull_tabs=None, hull_dims=None,
             phase=max_ph + 1))
     return out
 
@@ -182,35 +229,90 @@ def _narrow_native(meta, pa, pb, hulls=None):
     if key == (3, 3):
         return cm.box_box_cm(a3, b3a, qa, a3b, b3b, qb)
     if key in HULL_RECIPES:
-        from dxk_tpu.ops.pallas.cm_hull import (capsule_hull_core,
-                                                sphere_hull_core)
-        hv, hp = hulls
-        V = hv.shape[0] // 3
-        F = hp.shape[0] // 5
+        dims = meta["hull_dims"]
 
         def row(t, r):
             return jnp.transpose(t[r:r + 1, :], (1, 0))     # (Pg, 1)
 
-        vlist = [(row(hv, 3 * i), row(hv, 3 * i + 1), row(hv, 3 * i + 2))
-                 for i in range(V)]
-        planes = [((row(hp, 5 * f), row(hp, 5 * f + 1), row(hp, 5 * f + 2)),
-                   row(hp, 5 * f + 3)) for f in range(F)]
-        pvalid = [row(hp, 5 * f + 4) > 0.5 for f in range(F)]
+        def vlist_of(hv):
+            V = hv.shape[0] // 3
+            return [(row(hv, 3 * i), row(hv, 3 * i + 1), row(hv, 3 * i + 2))
+                    for i in range(V)]
 
-        # hull-local frame (hull = side b: position a3b, rotation qb)
-        def to_local(p):
-            return cm.quat_inv_rotate_cm(qb, cm._sub(p, a3b))
+        if key in {(0, 4), (1, 4)}:
+            from dxk_tpu.ops.pallas.cm_hull import (capsule_hull_core,
+                                                    sphere_hull_core)
+            hv, hp = hulls
+            F = hp.shape[0] // 5
+            vlist = vlist_of(hv)
+            planes = [((row(hp, 5 * f), row(hp, 5 * f + 1),
+                        row(hp, 5 * f + 2)), row(hp, 5 * f + 3))
+                      for f in range(F)]
+            pvalid = [row(hp, 5 * f + 4) > 0.5 for f in range(F)]
 
-        if key == (0, 4):
-            pt, dp, nrm, hit = sphere_hull_core(
-                to_local(a3), ra, vlist, planes, pvalid)
-        else:
-            pt, dp, nrm, hit = capsule_hull_core(
-                to_local(a3), to_local(b3a), ra, vlist, planes, pvalid)
-        point = cm._add(cm.quat_rotate_cm(qb, pt), a3b)
-        normal = cm.quat_rotate_cm(qb, nrm)
-        return [point], [dp], normal, [hit]
+            # hull-local frame (hull = side b: position a3b, rotation qb)
+            def to_local(p):
+                return cm.quat_inv_rotate_cm(qb, cm._sub(p, a3b))
+
+            if key == (0, 4):
+                pt, dp, nrm, hit = sphere_hull_core(
+                    to_local(a3), ra, vlist, planes, pvalid)
+            else:
+                pt, dp, nrm, hit = capsule_hull_core(
+                    to_local(a3), to_local(b3a), ra, vlist, planes, pvalid)
+            point = cm._add(cm.quat_rotate_cm(qb, pt), a3b)
+            normal = cm.quat_rotate_cm(qb, nrm)
+            return [point], [dp], normal, [hit]
+
+        # SAT recipes over build-time polytope topology (cm_polytope)
+        from dxk_tpu.ops.pallas import cm_polytope as cp
+        LM_h = dims[3]
+        LM = max(4, LM_h) if key == (3, 4) else LM_h
+
+        def world_side(hv_tab, topo_tab, pos, quat):
+            vlist = vlist_of(hv_tab)
+            flist, loops, llens, elist = _topo_lists(topo_tab, dims, row)
+            if LM > LM_h:           # pad loops to the common LM
+                loops = [tuple(loop) + (loop[-1],) * (LM - LM_h)
+                         for loop in loops]
+            return cp.hull_topology_world(pos, quat, vlist, flist,
+                                          list(loops), llens, elist)
+
+        if key == (4, 4):
+            hwa = world_side(hulls[0], hulls[1], a3, qa)
+            hwb = world_side(hulls[2], hulls[3], a3b, qb)
+            return cp.hull_hull_cm(hwa, hwb)
+        hwb = world_side(hulls[0], hulls[1], a3b, qb)
+        if key == (2, 4):
+            return cp.cylinder_hull_cm(a3, b3a, ra, hwb)
+        return cp.box_hull_cm(a3, b3a, qa, hwb, LM)
     raise AssertionError(f"no cm recipe for {key}")
+
+
+def _topo_lists(tab, dims, row):
+    """Unpack a _group_static topo_tab (rows, Pg) into hull-LOCAL lists in
+    the cm_polytope contract: (faces, loops, loop_lens, edges)."""
+    _V, _F, FU, LM, EU = dims
+    off = 0
+    pn = [(row(tab, 3 * f), row(tab, 3 * f + 1), row(tab, 3 * f + 2))
+          for f in range(FU)]
+    off = 3 * FU + FU                      # skip offsets (unused: overlaps
+    pm = [row(tab, off + f) > 0.5 for f in range(FU)]  # come from verts)
+    off += FU
+    loops = []
+    for f in range(FU):
+        base = off + f * LM * 3
+        loops.append(tuple(
+            (row(tab, base + l * 3), row(tab, base + l * 3 + 1),
+             row(tab, base + l * 3 + 2)) for l in range(LM)))
+    off += 3 * FU * LM
+    llens = [row(tab, off + f).astype(jnp.int32) for f in range(FU)]
+    off += FU
+    ed = [(row(tab, off + 3 * e), row(tab, off + 3 * e + 1),
+           row(tab, off + 3 * e + 2)) for e in range(EU)]
+    off += 3 * EU
+    em = [row(tab, off + e) > 0.5 for e in range(EU)]
+    return list(zip(pn, pm)), loops, llens, list(zip(ed, em))
 
 
 def _prep_points(pts, dps, normal, masks, meta, gat, pos_tab, invI_tab,
@@ -307,7 +409,8 @@ def _fused_core(metas, joints, nbody, L, num_iterations, omega,
                 inv_dt,
                 vw0, invm_t, invI_t, pos_t, idg_joint,
                 cols_tab, group_onehots, group_incidence, group_fricrest,
-                passed_preps, joint_ts, group_hull=None, sequential=False):
+                passed_preps, joint_ts, group_hull=None, sequential=False,
+                jp=None):
     """The whole contact pipeline on comp-major arrays with L env lanes.
 
     sequential=True runs the solve in reference-exact sequential-impulse
@@ -334,6 +437,30 @@ def _fused_core(metas, joints, nbody, L, num_iterations, omega,
         [pos_t[i * nbody:(i + 1) * nbody] for i in range(3)], axis=1)
     invm_tab = invm_t
 
+    # ---- joint prep IN-KERNEL (cm_joint_prep): jp = (rot_t (4NB, L),
+    # jp_static per type, jp_ctl per type per joint, dt lane). Static
+    # joint params are baked into the trace; only body state and motor
+    # controls are data. Produces the same packed row lists the
+    # _*_field_rows readers consume, so the solve below is unchanged.
+    if jp is not None:
+        from dxk_tpu.ops.pallas.cm_joint_prep import ROW_BUILDERS
+        rot_t, jp_static, jp_ctl, dtl = jp
+        joint_ts = []
+        for ji, (name, ab) in enumerate(joints):
+            rows_all = []
+            for j, (a, b) in enumerate(ab):
+                bd = dict(
+                    qa=tuple(rot_t[c * nbody + a] for c in range(4)),
+                    qb=tuple(rot_t[c * nbody + b] for c in range(4)),
+                    pa=tuple(pos_t[c * nbody + a] for c in range(3)),
+                    pb=tuple(pos_t[c * nbody + b] for c in range(3)),
+                    ia=tuple(invI_t[c * nbody + a] for c in range(9)),
+                    ib=tuple(invI_t[c * nbody + b] for c in range(9)),
+                    inv_ma=invm_t[a], inv_mb=invm_t[b])
+                rows_all.extend(ROW_BUILDERS[name](
+                    jp_static[ji][j], jp_ctl[ji][j], bd, dtl, inv_dt))
+            joint_ts.append(rows_all)
+
     # ---- narrowphase per TYPE bucket (once per step) ----------------------
     # Phase splitting can turn one shape pair into up to num_phases groups;
     # instantiating a recipe graph (box_box_cm is ~5k ops) per GROUP blows
@@ -353,8 +480,9 @@ def _fused_core(metas, joints, nbody, L, num_iterations, omega,
         pb = _gather_params(gb, cols_tab, L)
         hulls = None
         if key in HULL_RECIPES:
-            hulls = (jnp.concatenate([group_hull[g][0] for g in gl], axis=1),
-                     jnp.concatenate([group_hull[g][1] for g in gl], axis=1))
+            n_tabs = len(group_hull[gl[0]])
+            hulls = [jnp.concatenate([group_hull[g][t] for g in gl], axis=1)
+                     for t in range(n_tabs)]
         pts, dps, normal, masks = _narrow_native(metas[gl[0]], pa, pb, hulls)
         off = 0
         for g in gl:
@@ -526,8 +654,36 @@ def _incidence(m, nb):
     return gat, gat.T.copy()
 
 
+def _ctl_layout(joints):
+    """Controls-pack row layout [(name, J, fields)] + total row count."""
+    from dxk_tpu.ops.pallas.cm_joint_prep import CTL_FIELDS
+    layout = []
+    R = 0
+    for name, ab in joints:
+        fields = CTL_FIELDS[name]
+        layout.append((name, len(ab), fields))
+        R += len(ab) * len(fields)
+    return layout, R
+
+
+def _ctl_dicts(layout, row):
+    """Per-type per-joint control-lane dicts from a row accessor."""
+    out = []
+    r = 0
+    for name, J, fields in layout:
+        per_type = []
+        for _j in range(J):
+            d = {}
+            for f in fields:
+                d[f] = row(r)
+                r += 1
+            per_type.append(d)
+        out.append(per_type)
+    return out
+
+
 def make_fused_step_solver(scene, num_iterations, omega=1.0,
-                           sequential=False):
+                           sequential=False, joint_prep_in_kernel=False):
     """Returns fn(bodies, w_pack, joint_preps, passed, inv_dt) ->
     (v, w, imp_n (Ptot, 4), live (Ptot,)) per env, as a custom_vmap: the
     vmapped call launches the fused kernel on the whole batch; the
@@ -536,11 +692,20 @@ def make_fused_step_solver(scene, num_iterations, omega=1.0,
 
     w_pack: (11, C) world collider params, param-major (see COL_PARAMS);
     joint_preps: tuple of prep structs for the scene's joint types, in
-    scene_joint_ab order; passed: tuple of ContactPrep slices for
-    non-native groups, in group order (empty tuple when all groups are
+    scene_joint_ab order — OR, when joint_prep_in_kernel=True, the
+    (R+1,) controls pack (motor-control rows per cm_joint_prep.CTL_FIELDS
+    order, dt in the last row) and prep runs INSIDE the kernel from
+    bodies.rot + static joint params; passed: tuple of ContactPrep slices
+    for non-native groups, in group order (empty tuple when all groups are
     native); inv_dt: () scalar."""
     metas = _group_static(scene)
     joints = scene_joint_ab(scene)
+    jp_static = None
+    ctl_layout = None
+    if joint_prep_in_kernel:
+        from dxk_tpu.ops.pallas.cm_joint_prep import static_params
+        jp_static = [static_params(scene, name) for name, _ab in joints]
+        ctl_layout, _R = _ctl_layout(joints)
 
     @jax.custom_batching.custom_vmap
     def fused(bodies, w_pack, joint_preps, passed, inv_dt):
@@ -573,19 +738,29 @@ def make_fused_step_solver(scene, num_iterations, omega=1.0,
             (jnp.asarray(m["fric"])[:, None], jnp.asarray(m["rest"])[:, None])
             if m["native"] else None for m in metas]
         hull_tabs = [
-            (jnp.asarray(m["hullv"]), jnp.asarray(m["hullp"]))
-            if m.get("hullv") is not None else None for m in metas]
-        joint_ts = [
-            jnp.transpose(pack_joint_type(
-                name, jax.tree_util.tree_map(lambda x: x[None], prep)),
-                (1, 0))
-            for (name, _ab), prep in zip(joints, joint_preps)]
+            [jnp.asarray(t) for t in m["hull_tabs"]]
+            if m.get("hull_tabs") is not None else None for m in metas]
+        if joint_prep_in_kernel:
+            joint_ts = None
+            ctl = joint_preps                       # (R+1,) controls pack
+            rot_t = jnp.concatenate(
+                [bodies.rot[:, c][:, None] for c in range(4)], axis=0)
+            jp = (rot_t, jp_static,
+                  _ctl_dicts(ctl_layout, lambda r: ctl[r]),
+                  ctl[ctl.shape[0] - 1])
+        else:
+            jp = None
+            joint_ts = [
+                jnp.transpose(pack_joint_type(
+                    name, jax.tree_util.tree_map(lambda x: x[None], prep)),
+                    (1, 0))
+                for (name, _ab), prep in zip(joints, joint_preps)]
 
         vw, imp_out, live = _fused_core(
             metas, joints, nbl, 1, num_iterations, omega, inv_dt,
             vw0, invm_t, invI_t, pos_t, idg_joint,
             cols_tab, onehots, incidence, fricrest, passed_fields,
-            joint_ts, group_hull=hull_tabs, sequential=sequential)
+            joint_ts, group_hull=hull_tabs, sequential=sequential, jp=jp)
         v_new = vw[:, 0:3]
         w_new = vw[:, 3:6]
         imps = []
@@ -611,7 +786,9 @@ def make_fused_step_solver(scene, num_iterations, omega=1.0,
         out = _fused_step_batched(scene, metas, joints, bodies,
                                   w_pack, joint_preps, passed,
                                   num_iterations, omega, inv_dt,
-                                  sequential=sequential)
+                                  sequential=sequential,
+                                  jp_static=jp_static,
+                                  ctl_layout=ctl_layout)
         return out, (True, True, True, True)
 
     return fused
@@ -691,9 +868,10 @@ def _scratch_reader(sc, meta):
 
 
 def _make_kernel2(metas, joints, nb, ncol, num_iterations, omega,
-                  sequential=False):
+                  sequential=False, jp_static=None, ctl_layout=None):
     n_groups = len(metas)
     n_passed = sum(1 for m in metas if not m["native"])
+    jp_mode = jp_static is not None
 
     def kernel(*refs):
         it = iter(refs)
@@ -702,6 +880,8 @@ def _make_kernel2(metas, joints, nb, ncol, num_iterations, omega,
         invm_ref = next(it)                    # (CB, N)
         invI_ref = next(it)                    # (CB, 9N)
         pos_ref = next(it)                     # (CB, 3N)
+        rot_ref = next(it) if jp_mode else None  # (CB, 4N)
+        ctl_ref = next(it) if jp_mode else None  # (CB, R+1)
         col_ref = next(it)                     # (CB, 11C)
         idg_ref = next(it)                     # (6, NB) const
         g_gat, g_sca, g_oh, g_fr, g_hbm, g_hull = [], [], [], [], [], []
@@ -711,8 +891,9 @@ def _make_kernel2(metas, joints, nb, ncol, num_iterations, omega,
             if m["native"]:
                 g_oh.append((next(it), next(it)))
                 g_fr.append(next(it))          # (2, Pg) const
-                if m["hullv"] is not None:
-                    g_hull.append((next(it), next(it)))
+                if m["hull_tabs"] is not None:
+                    g_hull.append([next(it)
+                                   for _ in range(len(m["hull_tabs"]))])
                 else:
                     g_hull.append(None)
                 g_hbm.append(None)
@@ -721,7 +902,7 @@ def _make_kernel2(metas, joints, nb, ncol, num_iterations, omega,
                 g_fr.append(None)
                 g_hull.append(None)
                 g_hbm.append(next(it))
-        joint_refs = [next(it) for _ in joints]
+        joint_refs = [] if jp_mode else [next(it) for _ in joints]
         vw_out = next(it)
         imp_outs = [next(it) for _ in range(n_groups)]
         live_outs = [next(it) for _ in range(n_groups)]
@@ -752,7 +933,16 @@ def _make_kernel2(metas, joints, nb, ncol, num_iterations, omega,
         invI_t = _mxu_t(invI_ref[:, :])
         pos_t = _mxu_t(pos_ref[:, :])
         col_t = _mxu_t(col_ref[:, :])
-        joint_ts = [_mxu_t(r[:, :]) for r in joint_refs]
+        if jp_mode:
+            joint_ts = None
+            rot_t = _mxu_t(rot_ref[:, :])               # (4N, CB)
+            ctl_t = _mxu_t(ctl_ref[:, :])               # (R+1, CB)
+            jp = (rot_t, jp_static,
+                  _ctl_dicts(ctl_layout, lambda r: ctl_t[r]),
+                  ctl_t[ctl_t.shape[0] - 1])
+        else:
+            jp = None
+            joint_ts = [_mxu_t(r[:, :]) for r in joint_refs]
 
         vw0 = jnp.concatenate(
             [vw_t[c * nb:(c + 1) * nb] for c in range(6)], axis=1)
@@ -774,14 +964,14 @@ def _make_kernel2(metas, joints, nb, ncol, num_iterations, omega,
              jnp.transpose(g_fr[g][1:2, :], (1, 0)))
             if m["native"] else None for g, m in enumerate(metas)]
         hull_tabs = [
-            (g_hull[g][0][:, :], g_hull[g][1][:, :])
+            [r[:, :] for r in g_hull[g]]
             if g_hull[g] is not None else None for g in range(n_groups)]
 
         vw, imp_out, live = _fused_core(
             metas, joints, nb, CB, num_iterations, omega, inv_dt,
             vw0, invm_t, invI_t, pos_t, idg_joint,
             cols_tab, onehots, incidence, fricrest, passed_read,
-            joint_ts, group_hull=hull_tabs, sequential=sequential)
+            joint_ts, group_hull=hull_tabs, sequential=sequential, jp=jp)
 
         out_rows = jnp.concatenate(
             [vw[:, c * CB:(c + 1) * CB] for c in range(6)], axis=0)
@@ -796,8 +986,10 @@ def _make_kernel2(metas, joints, nb, ncol, num_iterations, omega,
 
 def _fused_step_batched(scene, metas, joints, bodies, w_pack,
                         joint_preps, passed, num_iterations, omega,
-                        inv_dt, sequential=False):
+                        inv_dt, sequential=False, jp_static=None,
+                        ctl_layout=None):
     """Batched path: pack batch-major tensors and launch the kernel."""
+    jp_mode = jp_static is not None
     B0 = bodies.v.shape[0]
     from dxk_tpu.ops.pallas.batched_solver import _pad_batch_to_cb
     bodies, w_pack, joint_preps, passed = _pad_batch_to_cb(
@@ -824,7 +1016,8 @@ def _fused_step_batched(scene, metas, joints, bodies, w_pack,
             v=_padb(bodies.v), w=_padb(bodies.w),
             inv_mass=_padb(bodies.inv_mass),
             inv_inertia=_padb(bodies.inv_inertia),
-            pos_cog=_padb(bodies.pos_cog))
+            pos_cog=_padb(bodies.pos_cog),
+            rot=_padb(bodies.rot))
     nb = nb0 + pad_b
     n_chunks = B // CB
 
@@ -849,10 +1042,15 @@ def _fused_step_batched(scene, metas, joints, bodies, w_pack,
         return pl.BlockSpec(shape, (lambda ch, _nd=nd: (0,) * _nd),
                             memory_space=pltpu.VMEM)
 
-    inputs += [vw, invm, invI, pos, colpack,
-               jnp.asarray(static_joint_invdeg(scene, nb))]
-    in_specs += [bspec(6 * nb), bspec(nb), bspec(9 * nb), bspec(3 * nb),
-                 bspec(COL_PARAMS * ncol),
+    inputs += [vw, invm, invI, pos]
+    in_specs += [bspec(6 * nb), bspec(nb), bspec(9 * nb), bspec(3 * nb)]
+    if jp_mode:
+        rotp = jnp.transpose(bodies.rot, (0, 2, 1)).reshape(B, 4 * nb)
+        ctl = joint_preps                        # (B, R+1) controls pack
+        inputs += [rotp, ctl]
+        in_specs += [bspec(4 * nb), bspec(ctl.shape[1])]
+    inputs += [colpack, jnp.asarray(static_joint_invdeg(scene, nb))]
+    in_specs += [bspec(COL_PARAMS * ncol),
                  const_spec((len(JOINT_ORDER), nb))]
 
     scratch_cols = []
@@ -869,19 +1067,20 @@ def _fused_step_batched(scene, metas, joints, bodies, w_pack,
             in_specs += [const_spec((m["pg"], ncol)),
                          const_spec((m["pg"], ncol)),
                          const_spec((2, m["pg"]))]
-            if m["hullv"] is not None:
-                inputs += [jnp.asarray(m["hullv"]), jnp.asarray(m["hullp"])]
-                in_specs += [const_spec(m["hullv"].shape),
-                             const_spec(m["hullp"].shape)]
+            if m["hull_tabs"] is not None:
+                for t in m["hull_tabs"]:
+                    inputs.append(jnp.asarray(t))
+                    in_specs.append(const_spec(t.shape))
         else:
             t = _pack_passed(passed[pi], m["pg"], m["k"])
             pi += 1
             inputs.append(t)
             in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
             scratch_cols.append(t.shape[1])
-    for (name, ab), prep in zip(joints, joint_preps):
-        inputs.append(pack_joint_type(name, prep))
-        in_specs.append(bspec(len(ab) * joint_rows(name)))
+    if not jp_mode:
+        for (name, ab), prep in zip(joints, joint_preps):
+            inputs.append(pack_joint_type(name, prep))
+            in_specs.append(bspec(len(ab) * joint_rows(name)))
 
     out_shapes = [jax.ShapeDtypeStruct((B, 6 * nb), jnp.float32)]
     out_specs = [bspec(6 * nb)]
@@ -901,7 +1100,8 @@ def _fused_step_batched(scene, metas, joints, bodies, w_pack,
         scratch_shapes.append(pltpu.SemaphoreType.DMA)
 
     kernel = _make_kernel2(metas, joints, nb, ncol,
-                           num_iterations, omega, sequential=sequential)
+                           num_iterations, omega, sequential=sequential,
+                           jp_static=jp_static, ctl_layout=ctl_layout)
 
     interpret = jax.default_backend() != "tpu"
     outs = pl.pallas_call(

@@ -52,6 +52,21 @@ TWIST_LIMIT_BETA = 0.1
 SLIDER_LIMIT_BETA = 0.1
 DT_THRESHOLD = 1e-5
 
+from dxk_tpu.core import fastmath as fm  # noqa: E402 (kernel-shared trig)
+
+
+def _get_axis_rotation_fm(q):
+    """maths.get_axis_rotation with fastmath.acos (kernel-shared)."""
+    from dxk_tpu.core.maths import squared_length
+    v = q[..., :3]
+    sq = squared_length(v)
+    ok = sq > 0.0
+    angle = jnp.where(ok, 2.0 * fm.acos(jnp.clip(q[..., 3], -1.0, 1.0)), 0.0)
+    inv_len = jnp.where(ok, 1.0 / jnp.sqrt(jnp.where(ok, sq, 1.0)), 0.0)
+    axis = jnp.where(ok[..., None], v * inv_len[..., None],
+                     jnp.array([1.0, 0.0, 0.0], q.dtype))
+    return axis, angle
+
 
 def _inv_or_zero(x):
     return jnp.where(x != 0.0, 1.0 / jnp.where(x != 0.0, x, 1.0), 0.0)
@@ -486,8 +501,11 @@ def prep_hinge(bodies: SolverBodies, j, controls: MotorControls, dt) -> HingePre
     # limits & motor (constraints.cpp:1155-1205)
     compare_a = quat_rotate(quat_conj(rot_a),
                             quat_rotate(rot_b, j.local_tangent_b))
-    angle = jnp.arctan2(dot(compare_a, j.local_bitangent_a),
-                        dot(compare_a, j.local_tangent_a))
+    # fastmath.atan2 (not jnp.arctan2): shared with the fused kernel's
+    # in-kernel joint prep (Mosaic has no atan2 lowering) so both paths
+    # compute identical angles — see core/fastmath.py
+    angle = fm.atan2(dot(compare_a, j.local_bitangent_a),
+                     dot(compare_a, j.local_tangent_a))
     min_violated = (j.limit_min <= 0.0) & (angle <= j.limit_min)
     max_violated = (j.limit_max >= 0.0) & (angle >= j.limit_max)
     max_torque = controls.hinge_max_torque
@@ -636,10 +654,10 @@ def prep_cone_twist(bodies: SolverBodies, j, controls: MotorControls, dt) -> Con
     twist_tan_a = quat_rotate(swing_rotation, j.local_tangent_a)
     twist_bitan_a = quat_rotate(swing_rotation, j.local_bitangent_a)
     tan_compare = quat_rotate(btoa, j.local_tangent_b)
-    twist_angle = jnp.arctan2(dot(tan_compare, twist_bitan_a),
-                              dot(tan_compare, twist_tan_a))
+    twist_angle = fm.atan2(dot(tan_compare, twist_bitan_a),
+                           dot(tan_compare, twist_tan_a))
 
-    swing_axis_l, swing_angle = get_axis_rotation(swing_rotation)
+    swing_axis_l, swing_angle = _get_axis_rotation_fm(swing_rotation)
     neg = swing_angle < 0.0
     swing_angle = jnp.where(neg, -swing_angle, swing_angle)
     swing_axis_l = jnp.where(neg[..., None], -swing_axis_l, swing_axis_l)
@@ -674,7 +692,7 @@ def prep_cone_twist(bodies: SolverBodies, j, controls: MotorControls, dt) -> Con
     local_sm_axis_pos = noz(cross(axis_compare, local_target_dir))
     sm_axis_pos = quat_rotate(rot_a, local_sm_axis_pos)
     cos_angle = dot(local_target_dir, axis_compare)
-    delta_angle = jnp.arccos(jnp.clip(cos_angle, 0.0, 1.0))
+    delta_angle = fm.acos(jnp.clip(cos_angle, 0.0, 1.0))
     sm_vel_p = jnp.where(dt > DT_THRESHOLD, delta_angle * inv_dt * 0.2, 0.0)
 
     is_pos = controls.ct_swing_motor_type == 1

@@ -58,6 +58,13 @@ class PhysicsSettings:
     # (ops/cloth.collide_particles). The reference has NO cloth-rigid
     # collision at all — one-way pushout and this coupling both exceed it.
     cloth_two_way: bool = struct.field(pytree_node=False, default=True)
+    # fused mode only: run joint constraint prep INSIDE the Pallas kernel
+    # (ops/pallas/cm_joint_prep.py) instead of as ~0.5 ms of tiny XLA ops
+    # at 4096 envs. Static joint params bake into the kernel; only motor
+    # controls + body rotations cross HBM. fused_seq ignores this (its
+    # fidelity contract is bit-exactness vs "scan", which preps in XLA).
+    joint_prep_in_kernel: bool = struct.field(pytree_node=False,
+                                              default=True)
 
 
 def _cloth_substep(scene, new_state, state, settings, dt, w, bodies):
@@ -121,8 +128,13 @@ def _contacts_for_group(scene, w, group, pairs, mask):
     elif (ta, tb) == (SHAPE_BOX, SHAPE_BOX):
         out = v(np_ops.box_box_contact)(a_a, a_b, a_q, b_a, b_b, b_q)
     elif tb == SHAPE_HULL:
-        hv = scene.hulls.vertices[w.hull_id[ib]]
-        hm = scene.hulls.vertex_mask[w.hull_id[ib]]
+        def htabs(idx):
+            h = scene.hulls
+            return tuple(t[w.hull_id[idx]] for t in (
+                h.vertices, h.vertex_mask, h.poly_normals, h.poly_offsets,
+                h.poly_mask, h.loop_pts, h.loop_len, h.edge_dirs,
+                h.edge_mask))
+        hv, hm, *_ = tb_tabs = htabs(ib)
         hfn = scene.hulls.face_normals[w.hull_id[ib]]
         hfo = scene.hulls.face_offsets[w.hull_id[ib]]
         hfm = scene.hulls.face_mask[w.hull_id[ib]]
@@ -133,14 +145,14 @@ def _contacts_for_group(scene, w, group, pairs, mask):
             out = v(np_ops.capsule_hull_contact)(a_a, a_b, a_r, b_a, b_q,
                                                  hv, hm, hfn, hfo, hfm)
         elif ta == SHAPE_CYLINDER:
-            out = v(np_ops.cylinder_hull_contact)(a_a, a_b, a_r, b_a, b_q, hv, hm)
+            out = v(np_ops.cylinder_hull_contact)(a_a, a_b, a_r, b_a, b_q,
+                                                  *tb_tabs)
         elif ta == SHAPE_BOX:
-            out = v(np_ops.box_hull_contact)(a_a, a_b, a_q, b_a, b_q, hv, hm,
-                                             hfn, hfo, hfm)
+            out = v(np_ops.box_hull_contact)(a_a, a_b, a_q, b_a, b_q,
+                                             *tb_tabs)
         else:  # hull-hull
-            av = scene.hulls.vertices[w.hull_id[ia]]
-            am = scene.hulls.vertex_mask[w.hull_id[ia]]
-            out = v(np_ops.hull_hull_contact)(a_a, a_q, av, am, b_a, b_q, hv, hm)
+            out = v(np_ops.hull_hull_contact)(a_a, a_q, *htabs(ia),
+                                              b_a, b_q, *tb_tabs)
     else:
         raise NotImplementedError(f"contact pair ({ta}, {tb}) not implemented")
     pts, dps, nrm, cnt, hit = out
@@ -457,20 +469,36 @@ def _physics_step_fused(scene, state, settings, dt, controls, tracker,
             bodies, hba, hbb, hpts, hnrm, hdps, hfr, hre,
             hcm.astype(hpts.dtype), dt))
 
-    # joint prep (XLA — small), one entry per joint type present in the
-    # scene, in scene_joint_ab (reference solve) order
+    # joint prep: either packed motor-control rows for IN-KERNEL prep
+    # (cm_joint_prep; static params bake into the kernel) or the XLA prep
+    # structs; one entry per joint type present in the scene, in
+    # scene_joint_ab (reference solve) order
     from dxk_tpu.ops.pallas.batched_solver import scene_joint_ab
-    prep_fns = {
-        "distance": lambda: prep_distance(bodies, scene.distance, dt),
-        "ball": lambda: prep_ball(bodies, scene.ball, dt),
-        "fixed": lambda: prep_fixed(bodies, scene.fixed, dt),
-        "hinge": lambda: prep_hinge(bodies, scene.hinge, controls, dt),
-        "cone_twist": lambda: prep_cone_twist(bodies, scene.cone_twist,
-                                              controls, dt),
-        "slider": lambda: prep_slider(bodies, scene.slider, controls, dt),
-    }
-    joint_preps = tuple(prep_fns[name]()
-                        for name, _ab in scene_joint_ab(scene))
+    jp_in_kernel = settings.joint_prep_in_kernel and not sequential
+    if jp_in_kernel:
+        from dxk_tpu.ops.pallas.cm_joint_prep import CTL_ATTRS, CTL_FIELDS
+        rows = []
+        for name, ab in scene_joint_ab(scene):
+            for j in range(len(ab)):
+                for field in CTL_FIELDS[name]:
+                    rows.append(getattr(
+                        controls, CTL_ATTRS[name][field])[j]
+                        .astype(jnp.float32))
+        rows.append(jnp.asarray(dt, jnp.float32))    # dt in the last row
+        joint_preps = jnp.stack(rows)
+    else:
+        prep_fns = {
+            "distance": lambda: prep_distance(bodies, scene.distance, dt),
+            "ball": lambda: prep_ball(bodies, scene.ball, dt),
+            "fixed": lambda: prep_fixed(bodies, scene.fixed, dt),
+            "hinge": lambda: prep_hinge(bodies, scene.hinge, controls, dt),
+            "cone_twist": lambda: prep_cone_twist(bodies, scene.cone_twist,
+                                                  controls, dt),
+            "slider": lambda: prep_slider(bodies, scene.slider, controls,
+                                          dt),
+        }
+        joint_preps = tuple(prep_fns[name]()
+                            for name, _ab in scene_joint_ab(scene))
 
     # world collider param pack: (11, C) param-major
     w_pack = jnp.concatenate([
@@ -482,7 +510,8 @@ def _physics_step_fused(scene, state, settings, dt, controls, tracker,
 
     fused = make_fused_step_solver(scene, settings.num_rigid_solver_iterations,
                                    settings.sor_omega,
-                                   sequential=sequential)
+                                   sequential=sequential,
+                                   joint_prep_in_kernel=jp_in_kernel)
     inv_dt = jnp.float32(1.0) / dt
     v_new, w_new, imp_n, live = fused(bodies, w_pack, joint_preps,
                                       tuple(passed), inv_dt)

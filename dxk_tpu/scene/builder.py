@@ -810,11 +810,29 @@ class SceneBuilder:
                 fnorm[i, :len(n)] = n
                 foff[i, :len(n)] = d
                 fmask[i, :len(n)] = True
+            from dxk_tpu.scene.hull_topology import (bake_topologies,
+                                                     derive_hull_topology)
+            # derived here (not at add time) so deserialized builders —
+            # which restore _hull_geoms/_hull_faces directly — get
+            # topology too (scene/serialization.py)
+            topos = []
+            for v, (fn_, fd_) in zip(self._hull_geoms, self._hull_faces):
+                t = derive_hull_topology(v, fn_, fd_)
+                t["vertices"] = v
+                topos.append(t)
+            topo = bake_topologies(topos)
             hulls = HullGeometry(vertices=jnp.asarray(verts.astype(dtype)),
                                  vertex_mask=jnp.asarray(mask),
                                  face_normals=jnp.asarray(fnorm.astype(dtype)),
                                  face_offsets=jnp.asarray(foff.astype(dtype)),
-                                 face_mask=jnp.asarray(fmask))
+                                 face_mask=jnp.asarray(fmask),
+                                 poly_normals=jnp.asarray(topo["poly_normals"]),
+                                 poly_offsets=jnp.asarray(topo["poly_offsets"]),
+                                 poly_mask=jnp.asarray(topo["poly_mask"]),
+                                 loop_pts=jnp.asarray(topo["loop_pts"]),
+                                 loop_len=jnp.asarray(topo["loop_len"]),
+                                 edge_dirs=jnp.asarray(topo["edge_dirs"]),
+                                 edge_mask=jnp.asarray(topo["edge_mask"]))
 
         # --- cloth -----------------------------------------------------------
         cloth = None

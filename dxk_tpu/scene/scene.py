@@ -81,6 +81,16 @@ class HullGeometry:
     face_normals: jnp.ndarray = None   # (H, Fmax, 3) outward unit normals
     face_offsets: jnp.ndarray = None   # (H, Fmax) plane d: n.x + d = 0 form
     face_mask: jnp.ndarray = None      # (H, Fmax) bool
+    # merged-polygon topology for the SAT/clip contact paths
+    # (scene/hull_topology.py): unique face normals, ordered vertex loops
+    # (as local positions), unique edge directions
+    poly_normals: jnp.ndarray = None   # (H, FU, 3)
+    poly_offsets: jnp.ndarray = None   # (H, FU)
+    poly_mask: jnp.ndarray = None      # (H, FU) bool
+    loop_pts: jnp.ndarray = None       # (H, FU, LM, 3) local positions
+    loop_len: jnp.ndarray = None       # (H, FU) int32
+    edge_dirs: jnp.ndarray = None      # (H, EU, 3) unit, sign-deduped
+    edge_mask: jnp.ndarray = None      # (H, EU) bool
 
 
 @struct.dataclass

@@ -313,3 +313,57 @@ def inverse_transform_direction(rot, d):
 def angle_to_npi_pi(angle):
     """Wrap angle to [-pi, pi] (math.cpp angleToNegPiToPi), branchless."""
     return jnp.mod(angle + jnp.pi, 2.0 * jnp.pi) - jnp.pi
+
+
+# ---------------------------------------------------------------------------
+# Catmull-Rom splines (math.h:1048-1135) — used by particle settings
+# (size/intensity/life-scale over lifetime) and animation-style curves.
+
+
+def evaluate_spline(ts, values, t):
+    """catmull_rom_spline::evaluate (math.h:1048-1090), branchless.
+
+    `ts` (N,) ascending knots; a negative entry at index k+1 truncates the
+    spline to k+1 points (the reference's sentinel convention). `values`
+    (N,) or (N, D) control values. `t` any batch shape; returns the spline
+    value per element. The reference walks k while ts[k] < t; here k is a
+    mask sum over the same predicate (identical result for ascending ts),
+    clamped to >= 1 (the reference never evaluates with t <= ts[0] — its
+    callers clamp relLife to [0.01, 0.99]; k=0 would read ts[-1], UB in
+    C++ too)."""
+    ts = jnp.asarray(ts, jnp.float32)
+    values = jnp.asarray(values, jnp.float32)
+    n = ts.shape[0]
+    t = jnp.asarray(t, jnp.float32)
+    tb = t[..., None]                                   # (..., 1) vs (N,)
+    # valid knot: index 0/1 always (num >= 2 asserted), else ts >= 0
+    valid = (jnp.arange(n) < 2) | (ts >= 0.0)
+    # effective num = first invalid index (all-valid -> n)
+    num = jnp.where(jnp.any(~valid), jnp.argmin(valid.astype(jnp.int32)), n)
+    m = num - 1
+    # k = #{j in [0, num-2] : ts[j] < t and valid[j+1]} (prefix property)
+    stepable = (jnp.arange(n) < m) & valid
+    k = jnp.sum((stepable & (ts < tb)).astype(jnp.int32), axis=-1)
+    k = jnp.clip(k, 1, n - 1)
+
+    def take(idx):
+        oh = (jnp.arange(n) == idx[..., None]).astype(values.dtype)
+        if values.ndim == 1:
+            return jnp.sum(oh * values, axis=-1)
+        return jnp.einsum("...n,nd->...d", oh, values)
+
+    t0 = jnp.sum((jnp.arange(n) == (k - 1)[..., None]) * ts, axis=-1)
+    t1 = jnp.sum((jnp.arange(n) == k[..., None]) * ts, axis=-1)
+    h1 = jnp.clip((t - t0) / jnp.where(t1 == t0, 1.0, t1 - t0), 0.0, 1.0)
+    h2 = h1 * h1
+    h3 = h2 * h1
+    # Catmull-Rom basis, same dot(vec4, h) grouping as the reference
+    w0 = -h3 + 2.0 * h2 - h1
+    w1 = 3.0 * h3 - 5.0 * h2 + 2.0
+    w2 = -3.0 * h3 + 4.0 * h2 + h1
+    w3 = h3 - h2
+    if values.ndim > 1:
+        w0, w1, w2, w3 = (w[..., None] for w in (w0, w1, w2, w3))
+    out = (take(jnp.clip(k - 2, 0, m)) * w0 + take(k - 1) * w1
+           + take(k) * w2 + take(jnp.clip(k + 1, 0, m)) * w3)
+    return out * 0.5

@@ -189,3 +189,39 @@ def test_trigger_events_vmapped():
     assert np.all(n_enter == 1) and np.all(n_leave == 1)
     # staggered heights -> strictly increasing enter steps across envs
     assert np.all(np.diff(enter_step) > 0)
+
+
+def test_collision_sound_triggers():
+    """application.cpp:192-201 demo hook: begins -> (pitch, volume)."""
+    from dxk_tpu.utils.sound import collision_sound_triggers
+
+    # a REAL drop (impact dv >> 0.2 m/s min_speed) — the resting
+    # _drop_scene begin is inaudible by design (dv ~ 0.08)
+    b = SceneBuilder()
+    g = b.add_static()
+    b.add_box_collider(g, (0, -1, 0), (20, 1, 20))
+    body = b.add_body(position=(0, 1.5, 0))
+    b.add_box_collider(body, (0, 0, 0), (0.5, 0.5, 0.5), density=8.0)
+    scene = b.finalize()
+    st = scene.initial_state()
+    settings = PhysicsSettings(num_rigid_solver_iterations=10,
+                               solver_mode="scan")
+    step = jax.jit(lambda s: physics_step(scene, s, settings, 1 / 120))
+    prev = None
+    triggers = []
+    for _ in range(120):
+        st, info = step(st)
+        begins, _ = collision_events(scene, prev, info)
+        triggers.extend(collision_sound_triggers(scene, begins))
+        prev = info
+    # the impact is audible; settle flickers fall below min_speed and are
+    # gated out (exactly what the volume remap is for)
+    assert len(triggers) >= 1
+    t = triggers[0]
+    assert t["sound_id"] == "Collision"
+    assert 0.5 <= t["pitch"] <= 1.5
+    assert 0.0 < t["volume"] <= 1.0
+    # a featherweight impulse maps below min_speed -> dropped (inaudible)
+    from dxk_tpu.events import CollisionEvent
+    quiet = [CollisionEvent(0, 0, body, scene.dummy_body, 1e-6)]
+    assert collision_sound_triggers(scene, quiet) == []

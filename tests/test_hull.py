@@ -100,24 +100,35 @@ def test_ray_hull_exact():
     assert not bool(hit2)
 
 
+def _cube_hull_tabs(h=0.5):
+    """Per-hull contact tables (verts + topology) for a cube hull, via the
+    builder's bake path."""
+    cube = np.array([[sx * h, sy * h, sz * h]
+                     for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+                    np.float64)
+    b = SceneBuilder()
+    hid = b.add_hull_geometry_from_mesh(cube)
+    bd = b.add_body()
+    b.add_hull_collider(bd, hid)
+    H = b.finalize().hulls
+    return tuple(jnp.asarray(t[hid]) for t in (
+        H.vertices, H.vertex_mask, H.poly_normals, H.poly_offsets,
+        H.poly_mask, H.loop_pts, H.loop_len, H.edge_dirs, H.edge_mask))
+
+
 def test_hull_hull_multicontact_flat_faces():
     """Two cube hulls stacked face-on-face must produce a >=2-point
     manifold (exceeds the reference, whose hull-hull emits one EPA point
     and leaves the manifold as a TODO, collision_narrow.cpp:1558-1584)."""
     from dxk_tpu.ops.narrowphase import hull_hull_contact
 
-    cube = np.array([[sx * 0.5, sy * 0.5, sz * 0.5]
-                     for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
-                    np.float32)
-    Vmax = 8
-    verts = jnp.asarray(cube)
-    mask = jnp.ones((Vmax,), bool)
+    tabs = _cube_hull_tabs()
     idq = jnp.asarray([0.0, 0.0, 0.0, 1.0])
 
     # B sits on top of A with 2 cm penetration, slight xz offset
     pts, dps, nrm, cnt, hit = hull_hull_contact(
-        jnp.asarray([0.0, 0.0, 0.0]), idq, verts, mask,
-        jnp.asarray([0.12, 0.98, 0.07]), idq, verts, mask)
+        jnp.asarray([0.0, 0.0, 0.0]), idq, *tabs,
+        jnp.asarray([0.12, 0.98, 0.07]), idq, *tabs)
     assert bool(hit)
     assert int(cnt) >= 2, int(cnt)
     # normal along +y (A -> B), contact points near the interface plane
@@ -128,27 +139,27 @@ def test_hull_hull_multicontact_flat_faces():
     assert np.ptp(live[:, 0]) > 0.2 or np.ptp(live[:, 2]) > 0.2
 
 
-def test_hull_hull_vertex_contact_stays_single():
-    """Corner-on-face contact keeps the single EPA point."""
-    from dxk_tpu.core.maths import quat_from_axis_angle
+def test_hull_hull_vertex_contact_stays_few_points():
+    """Corner-on-face contact emits a small manifold concentrated at the
+    corner (the clip + depth filter discards the rest of the incident
+    face)."""
+    from dxk_tpu.core.maths import quat_from_axis_angle, quat_mul
     from dxk_tpu.ops.narrowphase import hull_hull_contact
 
-    cube = np.array([[sx * 0.5, sy * 0.5, sz * 0.5]
-                     for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
-                    np.float32)
-    verts = jnp.asarray(cube)
-    mask = jnp.ones((8,), bool)
+    tabs = _cube_hull_tabs()
     idq = jnp.asarray([0.0, 0.0, 0.0, 1.0])
     # rotate B 45 deg about x and z so a corner points down
     qx = quat_from_axis_angle(jnp.asarray([1.0, 0.0, 0.0]), 0.955)
     qz = quat_from_axis_angle(jnp.asarray([0.0, 0.0, 1.0]), 0.785)
-    from dxk_tpu.core.maths import quat_mul
     q = quat_mul(qz, qx)
     pts, dps, nrm, cnt, hit = hull_hull_contact(
-        jnp.asarray([0.0, 0.0, 0.0]), idq, verts, mask,
-        jnp.asarray([0.0, 1.30, 0.0]), q, verts, mask)
+        jnp.asarray([0.0, 0.0, 0.0]), idq, *tabs,
+        jnp.asarray([0.0, 1.30, 0.0]), q, *tabs)
     assert bool(hit)
-    assert int(cnt) == 1, int(cnt)
+    assert 1 <= int(cnt) <= 3, int(cnt)
+    # every live point is near the penetrating corner region
+    live = np.asarray(pts)[:int(cnt)]
+    assert np.all(np.abs(live[:, 1] - 0.5) < 0.1), live
 
 
 class TestMarginGJKHullContacts:
@@ -274,3 +285,41 @@ def test_hull_on_huge_ground_box_stable_scan():
     p = np.asarray(st.pos)
     assert np.isfinite(p).all()
     assert abs(p[1, 1] - 0.4) < 0.05          # cube still resting
+
+
+def test_obj_loader_feeds_hull_geometry():
+    """asset/obj.cpp slice: v/f records -> fromMesh hull baking."""
+    import io
+    from dxk_tpu.scene.obj_loader import load_obj
+    from dxk_tpu.scene import SceneBuilder
+
+    obj = io.StringIO("""
+# unit cube
+v -1 -1 -1
+v  1 -1 -1
+v  1  1 -1
+v -1  1 -1
+v -1 -1  1
+v  1 -1  1
+v  1  1  1
+v -1  1  1
+f 1 2 3 4
+f 5 8 7 6
+f 1/1 5/2/3 6//4 2
+f 2 6 7 3
+f 3 7 8 4
+f -8 -5 -1 -4
+""")
+    v, f = load_obj(obj)
+    assert v.shape == (8, 3)
+    assert f.shape == (12, 3)                     # 6 quads fan -> 12 tris
+    assert f.min() >= 0 and f.max() == 7          # incl. negative indices
+
+    b = SceneBuilder()
+    hid = b.add_hull_geometry_from_mesh(v)
+    body = b.add_body(position=(0, 3.0, 0))
+    b.add_hull_collider(body, hid)
+    g = b.add_static()
+    b.add_box_collider(g, (0, -1, 0), (10, 1, 10))
+    scene = b.finalize()
+    assert scene.hulls.vertices.shape[1] >= 8

@@ -270,8 +270,12 @@ def bench_constraint_zoo(batch, steps, iters_timed, solver_iterations):
 
 
 def bench_ragdoll_settle(batch, steps, iters_timed, solver_iterations):
-    """BASELINE config 3: ragdoll drop-and-settle (14 bodies, 17 colliders,
-    13 joints; ragdoll.cpp constants)."""
+    """BASELINE config 3: ragdoll drop-and-settle (14 ragdoll bodies, 17
+    colliders, 13 joints; ragdoll.cpp constants) — plus a convex-hull
+    debris body per the config's "capsule + convex-hull colliders": its
+    box-hull / capsule-hull contacts run IN-KERNEL via the round-3 SAT
+    recipes (ops/pallas/cm_polytope.py), keeping the scene fully fused."""
+    import numpy as _np
     from dxk_tpu.models.ragdoll import add_ragdoll
     from dxk_tpu.physics import PhysicsSettings
     from dxk_tpu.scene import SceneBuilder
@@ -280,12 +284,17 @@ def bench_ragdoll_settle(batch, steps, iters_timed, solver_iterations):
     ground = b.add_static(position=(0, -4.0, 0))
     b.add_box_collider(ground, (0, 0, 0), (20, 4, 20), friction=1.0)
     add_ragdoll(b, initial_hip_position=(0.0, 1.6, 0.0))
+    cube = _np.array([[x, y, z] for x in (-0.12, 0.12)
+                      for y in (-0.12, 0.12) for z in (-0.12, 0.12)])
+    hid = b.add_hull_geometry_from_mesh(cube)
+    debris = b.add_body(position=(0.45, 1.2, 0.1))
+    b.add_hull_collider(debris, hid, friction=0.8)
     # uncapped static tables -> fused-pipeline eligible (one Pallas kernel)
     scene = b.finalize()
     settings = PhysicsSettings(num_rigid_solver_iterations=solver_iterations,
                                solver_mode="fused")
     state = _broadcast_state(scene, batch)
-    return _time_batched_steps(scene, settings, state, steps, iters_timed, 14)
+    return _time_batched_steps(scene, settings, state, steps, iters_timed, 15)
 
 
 def bench_cloth_vehicle_heightfield(batch, steps, iters_timed,
@@ -447,6 +456,8 @@ def main():
     # here (the wedge documented in PERF_NOTES needs a HELD lease).
     import threading
     finished = threading.Event()
+    claimed = threading.Event()
+    cpu_fallback = os.environ.get("BENCH_CPU_FALLBACK") == "1"
 
     def watchdog():
         if not finished.wait(rep.deadline + 45.0):
@@ -458,8 +469,43 @@ def main():
 
     threading.Thread(target=watchdog, daemon=True).start()
 
+    def claim_watchdog():
+        # A down axon relay blocks the claim inside C forever (measured:
+        # >120s, no exception). A cold-boot claim takes ~2 min. If the
+        # claim hasn't completed in 150s, re-exec this script on CPU so
+        # the driver still records an honest (cpu-marked, reduced-size)
+        # measurement instead of rc=124/parsed-null. exec from a daemon
+        # thread kills the blocked main thread; no lease is held yet.
+        if claimed.wait(150.0) or cpu_fallback:
+            return
+        rep.note("claim watchdog: device claim stuck — re-exec on CPU")
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PALLAS_AXON_POOL_IPS"] = ""
+        env["BENCH_CPU_FALLBACK"] = "1"
+        env["BENCH_DEADLINE_S"] = str(int(max(120.0, rep.remaining() - 60)))
+        # XLA:CPU's loop fusion explodes the fused/box select-chains
+        # (CLAUDE.md) — disable it like conftest does for CPU runs
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                            + " --xla_disable_hlo_passes=fusion")
+        os.execvpe(sys.executable, [sys.executable,
+                                    os.path.abspath(__file__)], env)
+
+    threading.Thread(target=claim_watchdog, daemon=True).start()
+
     rep.note("claiming device...")
     on_tpu = jax.devices()[0].platform != "cpu"
+    claimed.set()
+    if cpu_fallback:
+        # tiny honest fallback: XLA paths only (interpret-mode Pallas is
+        # minutes/step on CPU), smallest shapes, no aux configs
+        rep.extras["cpu_fallback"] = True
+        args.solver_mode = "jacobi"
+        args.box_solver_mode = "colored"
+        args.skip_aux = True
+        args.steps, args.iters = 5, 1
+        args.envs = args.envs or 8
+        args.boxes, args.box_batch = args.boxes or 64, args.box_batch or 1
     num_envs = args.envs or (4096 if on_tpu else 32)
     num_boxes = args.boxes or (1024 if on_tpu else 64)
     box_batch = args.box_batch or (8 if on_tpu else 1)

@@ -323,3 +323,60 @@ f -8 -5 -1 -4
     b.add_box_collider(g, (0, -1, 0), (10, 1, 10))
     scene = b.finalize()
     assert scene.hulls.vertices.shape[1] >= 8
+
+
+def test_ply_dump_load_roundtrip():
+    """asset/ply.cpp slice: testDumpToPLY record layout + re-load."""
+    import io
+    import numpy as np
+    from dxk_tpu.scene.ply import dump_ply, load_ply
+
+    v = np.array([[x, y, z] for x in (-1, 1) for y in (-1, 1)
+                  for z in (-1, 1)], np.float32)
+    f = np.array([[0, 1, 2], [1, 3, 2], [4, 6, 5], [5, 6, 7],
+                  [0, 4, 1], [1, 4, 5], [2, 3, 6], [3, 7, 6],
+                  [0, 2, 4], [2, 6, 4], [1, 5, 3], [3, 5, 7]], np.int32)
+    n = v / np.linalg.norm(v, axis=1, keepdims=True)
+    buf = io.BytesIO()
+    dump_ply(buf, v, f, normals=n, color=(10, 200, 30))
+    raw = buf.getvalue()
+    # reference layout: per-vertex 3f pos + 3f normal + 4B rgba, per-face
+    # uchar 3 + 3x int32 (ply.cpp:66-85)
+    body = raw[raw.index(b"end_header") + len(b"end_header\n"):]
+    assert len(body) == 8 * (12 + 12 + 4) + 12 * (1 + 12)
+    assert body[24:28] == bytes([10, 200, 30, 255])
+
+    v2, f2 = load_ply(io.BytesIO(raw))
+    assert np.allclose(v2, v) and np.array_equal(f2, f)
+
+
+def test_ply_ascii_feeds_hull_geometry():
+    import io
+    import numpy as np
+    from dxk_tpu.scene.ply import load_ply
+    from dxk_tpu.scene import SceneBuilder
+
+    ply = io.BytesIO(b"""ply
+format ascii 1.0
+element vertex 4
+property float x
+property float y
+property float z
+element face 1
+property list uchar int vertex_indices
+end_header
+0 0 0
+1 0 0
+0 1 0
+0 0 1
+4 0 1 2 3
+""")
+    v, f = load_ply(ply)
+    assert v.shape == (4, 3)
+    assert f.shape == (2, 3)                       # quad fan -> 2 tris
+    b = SceneBuilder()
+    hid = b.add_hull_geometry_from_mesh(v)
+    body = b.add_body(position=(0, 2.0, 0))
+    b.add_hull_collider(body, hid)
+    scene = b.finalize()
+    assert scene.hulls.vertex_mask[hid].sum() == 4

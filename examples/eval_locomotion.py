@@ -18,9 +18,10 @@ import argparse
 _ap = argparse.ArgumentParser()
 _ap.add_argument("ckpt", nargs="?", default="/tmp/dxk_loco_ckpt")
 _ap.add_argument("--walk-target", type=float, default=0.0)
+_ap.add_argument("--solver-mode", default="fused")
 _args = _ap.parse_args()
 sys.argv = [sys.argv[0], _args.ckpt]
-env = LocoEnv(solver_iterations=30, solver_mode="fused",
+env = LocoEnv(solver_iterations=30, solver_mode=_args.solver_mode,
               torso_velocity_target=(_args.walk_target, 0.0, 0.0))
 net = ActorCritic(action_dim=27)
 ckpt = Checkpointer(sys.argv[1] if len(sys.argv) > 1 else "/tmp/dxk_loco_ckpt")
@@ -28,7 +29,9 @@ tmpl = net.init(jax.random.PRNGKey(0), jnp.zeros((66,)))
 params = ckpt.restore(template=tmpl)
 print("loaded checkpoint step", ckpt.latest_step)
 
-N, T = 256, 600   # 10 seconds per episode
+# 256 episodes x 10 s (600 steps @ 60 Hz); env overrides for CPU smokes
+N = int(os.environ.get("EVAL_ENVS", 256))
+T = int(os.environ.get("EVAL_STEPS", 600))
 keys = jax.random.split(jax.random.PRNGKey(1), N)
 st, obs = jax.jit(jax.vmap(env.reset))(keys)
 

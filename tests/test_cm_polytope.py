@@ -106,11 +106,16 @@ class TestAnalytic:
         assert float(dps[0]) > 0.0
 
 
+@pytest.mark.slow
 class TestOracleSoups:
     """Random-pose soups pinned against the reference-style GJK+EPA
     (hit booleans agree except near-tangency; SAT depth is never deeper
     than EPA beyond tolerance — EPA's inscribed polytope LOWER-bounds the
-    true depth, the SAT candidate set upper-bounds it)."""
+    true depth, the SAT candidate set upper-bounds it).
+
+    Slow tier: the unrolled SAT traces are multi-minute XLA:CPU compiles
+    cold (~2.5 min warm); the default tier keeps TestAnalytic +
+    TestFusedRoute as the fast pins for the same recipes."""
 
     def _poses(self, seed, N):
         rng = np.random.default_rng(seed)

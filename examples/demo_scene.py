@@ -3,6 +3,14 @@
 spheres, a trigger volume, procedural terrain with a heightfield collider,
 and an optional ball-joint chain. Renders frames with the debug ray-caster.
 
+Also wires the demo's physics-adjacent hooks: collision-begin events map
+to 3D sound triggers (application.cpp:192-201's collisionBeginCallback ->
+pitch/volume, utils/sound.py), a fire+smoke particle pair burns at a
+fixed torch (application.cpp:366-367 initialize the same systems), and
+the first sphere impact bursts debris particles that bounce off the real
+scene colliders (application.cpp:519-524's keypress burst; ours is
+event-driven).
+
 Run:  python examples/demo_scene.py   (from the repo root; writes /tmp/demo_*.ppm)
 """
 
@@ -70,8 +78,14 @@ def build_demo_scene(with_chain=True, with_terrain=True):
 def main():
     import jax
     import jax.numpy as jnp
+    from dxk_tpu.events import collision_events
+    from dxk_tpu.ops.particles import (alive_count, debris_params,
+                                       fire_params, init_particles,
+                                       particle_step, smoke_params)
+    from dxk_tpu.ops.shapes import world_colliders
     from dxk_tpu.physics import PhysicsSettings, physics_step
     from dxk_tpu.render.raster import render
+    from dxk_tpu.utils.sound import collision_sound_triggers
 
     builder, spheres = build_demo_scene()
     scene = builder.finalize(max_narrow_pairs_per_group=64)
@@ -79,9 +93,47 @@ def main():
     settings = PhysicsSettings()
     step = jax.jit(lambda s: physics_step(scene, s, settings, 1 / 120))
 
-    for frame_i in range(4):
+    # particle systems (application.cpp:366-369; capacities demo-sized)
+    torch = (25.0, 0.5, -5.0)
+    fire = (fire_params(emit_position=torch, emit_rate=150.0),
+            init_particles(256, seed=1))
+    smoke = (smoke_params(emit_position=(torch[0], torch[1] + 1.0, torch[2]),
+                          emit_rate=40.0), init_particles(256, seed=2))
+    debris = [debris_params(emit_positions=np.zeros((1, 3)), emit_rate=0.0),
+              init_particles(256, seed=3)]
+    psys = {"fire": fire, "smoke": smoke}
+    pstep = jax.jit(particle_step, static_argnames=())
+    # scene is closed over so collider types stay static under jit
+    dstep = jax.jit(lambda p, ps, s: particle_step(
+        p, ps, 0.5, world=world_colliders(scene, s.pos, s.rot),
+        hulls=scene.hulls, heightfield=scene.heightfield))
+
+    prev_info = None
+    rng = np.random.default_rng(519431)       # demo's sound-pitch seed
+    for frame_i in range(6):
         for _ in range(60):
             state, info = step(state)
+        # particle systems tick at the frame rate like the reference's
+        # render-loop updateParticleSystem calls; debris collides with the
+        # CURRENT world colliders
+        for name, (p, ps) in list(psys.items()):
+            psys[name] = (p, pstep(p, ps, 0.5))
+        debris[1] = dstep(debris[0], debris[1], state)
+        debris[0] = debris[0].replace(emit_rate=0.0)   # one-frame bursts
+
+        # collision begin events -> sound triggers + a debris burst
+        begins, _ends = collision_events(scene, prev_info, info,
+                                         min_impulse=1e-3)
+        prev_info = info
+        for trig in collision_sound_triggers(scene, begins, rng=rng):
+            print(f"  sound {trig['sound_id']}: bodies "
+                  f"({trig['body_a']},{trig['body_b']}) "
+                  f"pitch={trig['pitch']:.2f} volume={trig['volume']:.2f}")
+        if begins:
+            at = np.asarray(state.pos[begins[0].body_a])
+            debris[0] = debris_params(emit_positions=at[None, :],
+                                      emit_rate=400.0)
+
         rgb, _ = jax.jit(lambda s: render(
             scene, s, eye=(38.0, 8.0, 10.0), target=(22.0, 2.0, -5.0),
             width=160, height=120))(state)
@@ -91,7 +143,10 @@ def main():
             f.write(b"P6 160 120 255\n" + img.tobytes())
         print(f"t={0.5 * (frame_i + 1):.1f}s wrote {path}; "
               f"trigger={np.asarray(info.trigger_overlap)}, "
-              f"contacts={int(info.num_contacts)}")
+              f"contacts={int(info.num_contacts)}, particles alive "
+              f"fire={int(alive_count(psys['fire'][1]))} "
+              f"smoke={int(alive_count(psys['smoke'][1]))} "
+              f"debris={int(alive_count(debris[1]))}")
 
     ys = [float(state.pos[s, 1]) for s in spheres]
     print("sphere heights:", [round(y, 2) for y in ys])

@@ -471,12 +471,15 @@ def main():
 
     def claim_watchdog():
         # A down axon relay blocks the claim inside C forever (measured:
-        # >120s, no exception). A cold-boot claim takes ~2 min. If the
-        # claim hasn't completed in 150s, re-exec this script on CPU so
-        # the driver still records an honest (cpu-marked, reduced-size)
-        # measurement instead of rc=124/parsed-null. exec from a daemon
-        # thread kills the blocked main thread; no lease is held yet.
-        if claimed.wait(150.0) or cpu_fallback:
+        # >120s, no exception). A cold-boot claim takes ~2 min, so the
+        # trip point needs real margin above that (a healthy cold claim
+        # killed at 150s would trade the round's TPU numbers for a
+        # cpu_fallback line). If the claim hasn't completed in 210s,
+        # re-exec this script on CPU so the driver still records an
+        # honest (cpu-marked, reduced-size) measurement instead of
+        # rc=124/parsed-null. exec from a daemon thread kills the blocked
+        # main thread; no lease is held yet.
+        if claimed.wait(210.0) or cpu_fallback:
             return
         rep.note("claim watchdog: device claim stuck — re-exec on CPU")
         env = dict(os.environ)

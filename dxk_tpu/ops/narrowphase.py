@@ -966,16 +966,8 @@ def cylinder_cylinder_contact(aa, ab, ar, ba, bb, br):
     n_gsat = g_sgn[..., None] * g_bn                       # points A -> B
     depth_gsat = g_bo
 
-    def _cyl_sup(c, uax, hl, r, d):
-        cap = c + uax * (hl * _snap_sign(dot(uax, d)))[..., None]
-        radial = d - dot(d, uax)[..., None] * uax
-        rl = length(radial)
-        rad = jnp.where(rl > EPSILON,
-                        radial / jnp.maximum(rl, 1e-30)[..., None] * r, 0.0)
-        return cap + rad
-
-    pb_sup = _cyl_sup(cb_c, b_dir, b_hl, br, -n_gsat)      # B deepest into A
-    pa_sup = _cyl_sup(ca_c, a_dir, a_hl, ar, n_gsat)       # A deepest into B
+    pb_sup = _cyl_support_local(cb_c, b_dir, b_hl, br, -n_gsat)  # B into A
+    pa_sup = _cyl_support_local(ca_c, a_dir, a_hl, ar, n_gsat)   # A into B
     pt_capa = pb_sup + 0.5 * depth_gsat[..., None] * n_gsat
     pt_capb = pa_sup - 0.5 * depth_gsat[..., None] * n_gsat
     pt_glat = jnp.where(g_have[..., None],

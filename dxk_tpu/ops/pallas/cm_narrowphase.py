@@ -402,6 +402,27 @@ def sphere_box_cm(sc, sr, bc, bh, bq):
 # form of ops/manifold.py with per-lane vertex counts.
 
 
+def _snap_sign(x):
+    """sign() with sub-1e-6 components snapped to 0: fp-dust support
+    components whose raw sign flips with compilation choices would jump a
+    witness point a whole cap/face (docs/PERF_NOTES.md fp-dust notes).
+    Shared by every cm cylinder/box witness so AoS and CM paths can only
+    drift together."""
+    return jnp.sign(jnp.where(jnp.abs(x) < 1e-6, 0.0, x))
+
+
+def _cyl_support_cm(c, u, hl, r, d):
+    """Component-major twin of narrowphase._cyl_support_local: cylinder
+    support point along d (cap by snapped axial sign + radial rim)."""
+    cap = _add(c, _muls(u, hl * _snap_sign(_dot(u, d))))
+    radial = _sub(d, _muls(u, _dot(d, u)))
+    rl = jnp.sqrt(jnp.maximum(_sqlen(radial), 0.0))
+    rad = _where(rl > EPSILON,
+                 _muls(radial, r / jnp.maximum(rl, 1e-30)),
+                 (jnp.zeros_like(rl),) * 3)
+    return _add(cap, rad)
+
+
 def _neg(a):
     return (-a[0], -a[1], -a[2])
 
@@ -942,19 +963,8 @@ def cylinder_box_cm(aa, ab, ar, bc, bh, bq):
     n_sat = _muls(best_n, -sgn)                           # points cyl -> box
     depth_sat = best_ov
 
-    # witness point by winning feature (matches _cyl_support_local; snapped
-    # signs — sub-1e-6 support components are fp dust whose raw sign flips
-    # with compilation choices, jumping the witness a whole cap/face)
-    def _snap_sign(x):
-        return jnp.sign(jnp.where(jnp.abs(x) < 1e-6, 0.0, x))
-
-    cap = _add(cc, _muls(u, hl * _snap_sign(_dot(u, n_sat))))
-    radial = _sub(n_sat, _muls(u, _dot(n_sat, u)))
-    rl2 = jnp.sqrt(jnp.maximum(_sqlen(radial), 0.0))
-    radv = _where(rl2 > EPSILON,
-                  _muls(radial, ar / jnp.maximum(rl2, 1e-30)),
-                  (zero, zero, zero))
-    pa_face = _add(cap, radv)
+    # witness point by winning feature (matches _cyl_support_local)
+    pa_face = _cyl_support_cm(cc, u, hl, ar, n_sat)
     pt_face = _sub(pa_face, _muls(n_sat, 0.5 * depth_sat))
     pb_u = tuple(_snap_sign(-n_sat[i]) * bh[i] for i in range(3))
     pt_u = _add(pb_u, _muls(n_sat, 0.5 * depth_sat))
@@ -1177,20 +1187,8 @@ def cylinder_cylinder_cm(aa, ab, ar, ba, bb, br):
     n_gsat = _muls(g_bn, g_sgn)                            # points A -> B
     depth_gsat = g_bo
 
-    def _snap_sign(x):
-        return jnp.sign(jnp.where(jnp.abs(x) < 1e-6, 0.0, x))
-
-    def _cyl_sup(c, uax, hl, r, dv):
-        cap = _add(c, _muls(uax, hl * _snap_sign(_dot(uax, dv))))
-        radial = _sub(dv, _muls(uax, _dot(dv, uax)))
-        rl = jnp.sqrt(jnp.maximum(_sqlen(radial), 0.0))
-        rad = _where(rl > EPSILON,
-                     _muls(radial, r / jnp.maximum(rl, 1e-30)),
-                     (jnp.zeros_like(rl),) * 3)
-        return _add(cap, rad)
-
-    pb_sup = _cyl_sup(cb_c, b_dir, b_hl, br, _neg(n_gsat))
-    pa_sup = _cyl_sup(ca_c, a_dir, a_hl, ar, n_gsat)
+    pb_sup = _cyl_support_cm(cb_c, b_dir, b_hl, br, _neg(n_gsat))
+    pa_sup = _cyl_support_cm(ca_c, a_dir, a_hl, ar, n_gsat)
     pt_capa = _add(pb_sup, _muls(n_gsat, 0.5 * depth_gsat))
     pt_capb = _sub(pa_sup, _muls(n_gsat, 0.5 * depth_gsat))
     pt_glat = _where(g_have,

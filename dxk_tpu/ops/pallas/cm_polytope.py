@@ -89,10 +89,11 @@ def _sat_update(best, ov, payload, margin_tol=SAT_TIE_TOL):
     return tuple(out)
 
 
-def _face_scan(faces, loops, verts_self, verts_other, sign):
-    """Best (min-overlap) face axis of one side. sign=+1 when the side is
-    A (axis = +n points A->B), -1 when the side is B. Overlap along an
-    outward face normal n: max_self(n) - min_other(n). Returns
+def _face_scan(faces, loops, verts_self, verts_other):
+    """Best (min-overlap) face axis of one side; the returned n is the
+    side's OUTWARD face normal (the caller orients it A->B — it negates
+    n_b when B's side wins). Overlap along an outward face normal n:
+    max_self(n) - min_other(n). Returns
     (ov, n, loop_pts, loop_len, separated)."""
     zero = jnp.zeros_like(_dot(verts_self[0], verts_self[0]))
     LM = len(loops[0][0])
@@ -177,9 +178,9 @@ def polytope_polytope_core(verts_a, faces_a, loops_a, edges_a,
     cb = _centroid(verts_b)
 
     ov_a, n_a, loop_a, len_a, sep_a = _face_scan(
-        faces_a, loops_a, verts_a, verts_b, +1)
+        faces_a, loops_a, verts_a, verts_b)
     ov_b, n_b, loop_b, len_b, sep_b = _face_scan(
-        faces_b, loops_b, verts_b, verts_a, -1)
+        faces_b, loops_b, verts_b, verts_a)
     ov_e, ax_e, da_e, db_e, sep_e = _edge_scan(
         edges_a, edges_b, verts_a, verts_b, ca, cb)
 
@@ -482,12 +483,7 @@ def cylinder_hull_cm(ca, cb2, cr, hulls_world):
     hit = (best_ov >= 0.0) & ~separated & (overlap | (dist < 1e-5))
     n = best_n                                   # cylinder -> hull
     # support point of the cylinder along +n, pulled back half the depth
-    na = _dot(n, adir)
-    perp = _sub(n, _muls(adir, na))
-    pl = jnp.sqrt(jnp.maximum(_sqlen(perp), 0.0))
-    pdir = _muls(perp, 1.0 / jnp.maximum(pl, 1e-30))
-    sgn = jnp.where(na >= 0.0, 1.0, -1.0)
-    sup = _add(m, _add(_muls(adir, hlen * sgn),
-                       _muls(pdir, jnp.where(pl > 1e-6, cr, 0.0))))
-    pt = _sub(sup, _muls(n, 0.5 * best_ov))
+    # (same support fn the SAT/descent optimized, so the witness is
+    # consistent with the reported axis)
+    pt = _sub(cyl_support(n), _muls(n, 0.5 * best_ov))
     return [pt], [best_ov], n, [hit]

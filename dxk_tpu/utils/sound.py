@@ -19,6 +19,15 @@ from __future__ import annotations
 
 import numpy as np
 
+_RNG = None
+
+
+def _default_rng():
+    global _RNG
+    if _RNG is None:
+        _RNG = np.random.default_rng(519431)
+    return _RNG
+
 
 def collision_sound_triggers(scene, begins, rng=None,
                              min_speed: float = 0.2,
@@ -30,10 +39,11 @@ def collision_sound_triggers(scene, begins, rng=None,
     volume} with volume already remapped+saturated; zero-volume events
     (below min_speed) are dropped like inaudible sounds.
 
-    `rng`: np.random.Generator for the random pitch (default: fresh
-    generator seeded like the demo's 519431)."""
+    `rng`: np.random.Generator for the random pitch (default: a shared
+    module-level generator seeded 519431 once, so repeated calls advance
+    the pitch sequence instead of replaying it)."""
     if rng is None:
-        rng = np.random.default_rng(519431)
+        rng = _default_rng()
     inv_mass = np.asarray(scene.body_params.inv_mass)
     out = []
     for ev in begins:

@@ -66,27 +66,28 @@ def kselect_group_pairs(scene, aabb_min, aabb_max):
     from dxk_tpu.ops.pallas.kselect_broadphase import (class_of,
                                                        kselect_broadphase)
     c = scene.colliders
-    wovf = jnp.int32(0)
     if getattr(scene, "broadphase_kind", "kselect") == "sap":
         from dxk_tpu.ops.pallas.sap_broadphase import sap_broadphase
         idx, cls, hits, wovf = sap_broadphase(
             aabb_min, aabb_max, c.body, c.owner_type, c.ctype,
             num_phases=scene.num_contact_phases, k_sel=scene.broadphase_k,
             window=scene.sap_window, broad_idx=scene.sap_broad)
+        # the kernel already accounts for its own pair loss (window
+        # overrun AND sweep K-select drops); max(hits - K, 0) here would
+        # UNDERCOUNT because the S dense-static columns never drop and
+        # mask sweep overflow (hits mixes sweep + dense counts)
+        row_dropped = wovf
     else:
         idx, cls, hits = kselect_broadphase(
             aabb_min, aabb_max, c.body, c.owner_type, c.ctype,
             num_phases=scene.num_contact_phases, k_sel=scene.broadphase_k)
+        row_dropped = jnp.sum(jnp.maximum(hits - idx.shape[1], 0))
     C, K = idx.shape
     n = C * K
     flat_cls = cls.reshape(-1)
     flat_j = idx.reshape(-1)
     pos = jnp.arange(n, dtype=jnp.int32)
     num_overlaps = jnp.sum(hits)
-    # rows that outran the SAP sort window may be MISSING pairs (not just
-    # dropped by capacity) — surface them in the same overflow counter so
-    # StepInfo.broadphase_overflow != 0 flags an undersized sap_window
-    row_dropped = jnp.sum(jnp.maximum(hits - K, 0)) + wovf
 
     out = {}
     for gi, group in enumerate(scene.pair_groups):

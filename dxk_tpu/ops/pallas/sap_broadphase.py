@@ -78,12 +78,17 @@ def _sap_kernel(num_phases, k_sel, window,
             owner_i = owner_c[0, :][:, None]
             ctype_i = ctype_c[0, :][:, None]
             rb_i = owner_i == 0
+            st_i = owner_i == 1
         rb_j = owner_j == 0
+        st_j = owner_j == 1
         # pair lives in the earlier-SORTED row (classic SAP: visited from
-        # the interval that starts first); at least one side dynamic.
+        # the interval that starts first); one side dynamic, the other
+        # dynamic-or-static — force-field/trigger colliders (owner 2/3)
+        # are NOT contact candidates (kselect_broadphase places only
+        # rb-rb / rb-static; triggers ride the static overlap list).
         # bool-valued jnp.where lowers to i8->i1 trunci Mosaic rejects —
         # use and/or forms.
-        allowed = (jj > ii) & (rb_i | rb_j)
+        allowed = (jj > ii) & ((rb_i & (rb_j | st_j)) | (st_i & rb_j))
         dd = rb_i & rb_j
         allowed = allowed & ~(dd & (body_i == body_j))
 
@@ -226,7 +231,14 @@ def sap_broadphase(aabb_min, aabb_max, body, owner_type, ctype,
     idx = jnp.zeros((c, k_sel), jnp.int32).at[order].set(idx_orig)
     cls = jnp.zeros((c, k_sel), jnp.int32).at[order].set(cls_s)
     hits = jnp.zeros((c,), jnp.int32).at[order].set(cnt_s)
-    window_overflow = jnp.sum(ovf_s)
+    # overflow folds BOTH loss modes: rows whose x-interval outran the
+    # sorted window (pairs never seen) AND rows whose in-window matches
+    # outran the k_sel output slots (pairs seen but dropped by the
+    # K-select). The dense side columns below never drop, so they must
+    # not dilute this count (the caller can't tell sweep hits from dense
+    # hits in the combined `hits`).
+    window_overflow = (jnp.sum(ovf_s)
+                       + jnp.sum(jnp.maximum(cnt_s - k_sel, 0)))
 
     # dense side pass against the broad statics (XLA): S extra columns
     if broad_idx:

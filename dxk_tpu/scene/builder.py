@@ -662,18 +662,20 @@ class SceneBuilder:
             col["ctype"], col["owner_type"], col["body"])
         overlap_pairs = [tuple(p) for p in overlap_np]
 
-        sap_broad = ()
+        sphs = None                      # computed at most once per finalize
         if broadphase == "sap":
-            _c, _brads = self._collider_bounding_spheres(col, init_pos,
-                                                         init_rot, nb)
+            sphs = self._collider_bounding_spheres(col, init_pos,
+                                                   init_rot, nb)
             sap_broad = tuple(
                 int(i) for i in range(C)
                 if col["owner_type"][i] == OWNER_STATIC
-                and _brads[i] > sap_broad_extent)
+                and sphs[1][i] > sap_broad_extent)
+        else:
+            sap_broad = ()
 
         if candidate_margin is not None:
-            centers, brads = self._collider_bounding_spheres(col, init_pos,
-                                                             init_rot, nb)
+            centers, brads = sphs or self._collider_bounding_spheres(
+                col, init_pos, init_rot, nb)
             for key, pairs in list(coll_buckets.items()):
                 p = np.asarray(pairs, np.int32).reshape(-1, 2)
                 if len(p) == 0:

@@ -114,3 +114,59 @@ def test_sap_window_overflow_detected():
         jnp.asarray(mn), jnp.asarray(mx), jnp.asarray(body),
         jnp.asarray(owner), jnp.asarray(ctype), k_sel=4, window=2)
     assert int(wovf) > 0
+
+
+def test_sap_excludes_trigger_and_force_field_colliders():
+    """Trigger/force-field colliders (owner types 3/2) must NOT become
+    contact candidates: kselect places only rb-rb / rb-static pairs
+    (kselect_broadphase.py `placed`), and the reference prunes non-RB
+    pairs before narrowphase (collision_narrow.cpp:2346-2396). A trigger
+    admitted here would get solver impulses — bodies bouncing off an
+    intangible volume."""
+    from dxk_tpu.ops.pallas.sap_broadphase import sap_broadphase
+
+    # 0 = dynamic sphere; 1 = trigger box overlapping it; 2 = force-field
+    # box overlapping it; 3 = another dynamic sphere overlapping; 4 =
+    # static box overlapping. Expected candidates: (0,3) and (0,4) only.
+    mn = np.array([[0.0, 0, 0], [0.1, 0, 0], [0.2, 0, 0],
+                   [0.3, 0, 0], [0.4, 0, 0]], np.float32)
+    mx = mn + 1.0
+    body = np.array([0, 1, 2, 3, 4], np.int32)
+    owner = np.array([0, 3, 2, 0, 1], np.int32)   # rb, trig, ff, rb, static
+    ctype = np.zeros(5, np.int32)
+    idx, cls, hits, wovf = sap_broadphase(
+        jnp.asarray(mn), jnp.asarray(mx), jnp.asarray(body),
+        jnp.asarray(owner), jnp.asarray(ctype), k_sel=4, window=2)
+    got = _pair_set(idx, cls)
+    assert got == {(0, 3), (0, 4), (3, 4)}, got
+    assert int(wovf) == 0
+
+
+def test_sap_kselect_drop_counted_despite_dense_columns():
+    """Sweep pairs dropped by the per-row K-select must raise the overflow
+    counter even when dense broad-static columns exist: `hits` mixes sweep
+    and dense counts, so max(hits - (k_sel + S), 0) would undercount (the
+    dense columns never drop)."""
+    from dxk_tpu.ops.pallas.sap_broadphase import sap_broadphase
+
+    # 8 mutually-overlapping colliders: first-sorted row has 7 partners
+    # > k_sel=4. Collider 8 is a far-away broad static (S=1) overlapping
+    # nothing, so every dropped pair is a sweep drop.
+    C = 9
+    mn = np.zeros((C, 3), np.float32)
+    mn[:8, 0] = np.linspace(0.0, 0.35, 8)
+    mn[8] = (500.0, 0, 0)
+    mx = mn + 1.0
+    body = np.arange(C, dtype=np.int32)
+    owner = np.zeros(C, np.int32)
+    owner[8] = 1
+    ctype = np.zeros(C, np.int32)
+    idx, cls, hits, wovf = sap_broadphase(
+        jnp.asarray(mn), jnp.asarray(mx), jnp.asarray(body),
+        jnp.asarray(owner), jnp.asarray(ctype), k_sel=4, window=2,
+        broad_idx=(8,))
+    # rows (sorted) have 7,6,5 in-window partners -> drops 3+2+1 = 6
+    assert int(wovf) == 6, int(wovf)
+    # and the emitted pairs are the K-select survivors only
+    got = _pair_set(idx, cls)
+    assert len(got) == 4 * 4 + 3 + 2 + 1, sorted(got)

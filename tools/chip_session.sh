@@ -28,6 +28,10 @@ log "stage 2: box-stack tuning sweep"
 timeout 1800 python tools/sweep_box.py > "$OUT/sweep_box.json" 2> "$OUT/sweep_box.log"
 log "sweep rc=$? best: $(tail -1 "$OUT/sweep_box.json" 2>/dev/null)"
 
+log "stage 2b: box stage profile (attribution for the next tuning round)"
+timeout 600 python tools/profile_box.py > "$OUT/profile_box.log" 2>&1
+log "profile rc=$? tail: $(tail -2 "$OUT/profile_box.log" | tr '\n' ' ')"
+
 log "stage 3: walk training (gliding reference, curriculum)"
 timeout 3600 python examples/train_locomotion.py \
     --iters 600 --num-envs 4096 --solver-mode fused \

@@ -111,13 +111,18 @@ def _box_towers(num_boxes):
 
 
 def bench_box_stack(num_boxes, batch, steps, iters_timed, solver_iterations,
-                    solver_mode="fused_islands", contact_phases=4,
-                    candidate_margin=1.0):
+                    solver_mode="fused_islands", contact_phases=2,
+                    candidate_margin=0.25):
     """solver_mode='fused_islands' (default): build-time candidate-margin
     pruning -> island decomposition (64 towers -> 64 lane-batch elements,
     dxk_tpu/scene/islands.py) -> the whole contact pipeline (box-box SAT+
     clip narrowphase + prep + phased 30-iter solve) in ONE Pallas kernel.
-    Other modes ride the kselect broadphase + XLA solver paths."""
+    Other modes ride the kselect broadphase + XLA solver paths.
+
+    Defaults (phases=2, margin=0.25) are the on-chip sweep winner that
+    keeps sequential GS slices: 19.2M body-steps/s at batch 32 on v5e
+    (tools/sweep_box.py, round 3) vs 9.0M at the old (4, 1.0, 8); towers
+    verified standing over 600 steps at these settings (test_islands)."""
     from dxk_tpu.physics import PhysicsSettings, physics_step
 
     b, n = _box_towers(num_boxes)
@@ -249,7 +254,12 @@ def bench_constraint_zoo(batch, steps, iters_timed, solver_iterations):
             prev = link
             n += 1
         n += 1  # anchor body
-    scene = b.finalize()
+    # candidate_margin prunes the 96-capsule all-pairs table (4560 rows)
+    # to the 192 rows reachable under the joint limits: without it the
+    # zoo kernel spills 242M of vregs and fails Mosaic on v5e (VMEM is
+    # 128M; measured round 3). Chains sit 4.0 apart; margin 3.0 keeps
+    # every intra-chain pair plus the nearest cross-chain band.
+    scene = b.finalize(candidate_margin=3.0)
     # motors: position-drive the hinges, velocity-drive the sliders
     c = scene.default_controls
     c = c.replace(
@@ -511,7 +521,7 @@ def main():
         args.boxes, args.box_batch = args.boxes or 64, args.box_batch or 1
     num_envs = args.envs or (4096 if on_tpu else 32)
     num_boxes = args.boxes or (1024 if on_tpu else 64)
-    box_batch = args.box_batch or (8 if on_tpu else 1)
+    box_batch = args.box_batch or (32 if on_tpu else 1)
 
     rep.extras.update(platform=jax.devices()[0].platform,
                       device=str(jax.devices()[0]))

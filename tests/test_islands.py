@@ -98,6 +98,37 @@ def test_island_step_fused_mode():
     assert float(jnp.abs(got.lin_vel - want.lin_vel).max()) < 1e-4
 
 
+@pytest.mark.slow
+def test_island_towers_stand_at_bench_tuning():
+    """The bench's tuned box-stack settings (contact_phases=2,
+    candidate_margin=0.25 — the round-3 on-chip sweep winner at 19.2M
+    body-steps/s) must keep towers standing: 600 fused steps at 60 Hz, no
+    box may leave its column or fall below its start height band.
+
+    slow: same box_box_cm XLA:CPU compile cost as
+    test_island_step_fused_mode; cached after the first run."""
+    scene = _towers_scene(n_towers=4, height=16, phases=2, margin=0.25)
+    im = islandize(scene)
+    settings = PhysicsSettings(num_rigid_solver_iterations=30,
+                               solver_mode="fused")
+    isl0 = im.gather(scene.initial_state())
+    step = jax.jit(jax.vmap(
+        lambda s: physics_step(im.sub_scene, s, settings, 1 / 60.0)[0]))
+    st = isl0
+    for _ in range(600):
+        st = step(st)
+    assert bool(jnp.isfinite(st.pos).all())
+    top0 = float(jnp.max(isl0.pos[..., 1]))
+    top = float(jnp.max(st.pos[..., 1]))
+    # top box of every 16-high tower stays up (settles slightly as the
+    # 1.001 spawn gaps close: 16 * 0.001 + contact slop)
+    assert top > top0 - 0.15, (top0, top)
+    # nothing tipped sideways out of its column
+    dx = jnp.abs(st.pos[:, :-1, 0] - isl0.pos[:, :-1, 0])
+    dz = jnp.abs(st.pos[:, :-1, 2] - isl0.pos[:, :-1, 2])
+    assert float(jnp.maximum(dx, dz).max()) < 0.25
+
+
 def test_non_uniform_scene_raises():
     b = SceneBuilder()
     g = b.add_static()

@@ -121,8 +121,12 @@ def bench_box_stack(num_boxes, batch, steps, iters_timed, solver_iterations,
 
     Defaults (phases=2, margin=0.25) are the on-chip sweep winner that
     keeps sequential GS slices: 19.2M body-steps/s at batch 32 on v5e
-    (tools/sweep_box.py, round 3) vs 9.0M at the old (4, 1.0, 8); towers
-    verified standing over 600 steps at these settings (test_islands)."""
+    (tools/sweep_box.py, round 3) vs 9.0M at the old (4, 1.0, 8). Margin
+    0.25 prunes cross-tower pairs AND next-nearest intra-tower pairs
+    (center distance 2.002 > 2*0.866 + 0.25): valid only while every
+    intermediate box stays in place — the standing-tower invariant that
+    test_islands.py::test_island_towers_stand_at_bench_tuning enforces
+    over 600 steps at these exact spawn/dt settings."""
     from dxk_tpu.physics import PhysicsSettings, physics_step
 
     b, n = _box_towers(num_boxes)
@@ -255,10 +259,13 @@ def bench_constraint_zoo(batch, steps, iters_timed, solver_iterations):
             n += 1
         n += 1  # anchor body
     # candidate_margin prunes the 96-capsule all-pairs table (4560 rows)
-    # to the 192 rows reachable under the joint limits: without it the
-    # zoo kernel spills 242M of vregs and fails Mosaic on v5e (VMEM is
-    # 128M; measured round 3). Chains sit 4.0 apart; margin 3.0 keeps
-    # every intra-chain pair plus the nearest cross-chain band.
+    # to 192: without it the zoo kernel spills 242M of vregs and fails
+    # Mosaic on v5e (VMEM is 128M; measured round 3). With capsule bounding
+    # radius 0.42 the keep threshold is 0.84 + 3.0 = 3.84 < 4.0 chain
+    # spacing, so ONLY intra-chain pairs (<= 3 links apart, 12 per chain
+    # x 16 chains) survive. That's an empirical promise — the chains hang
+    # near vertical under these motors — not a joint-limit-derived bound
+    # (the ball joint is unlimited); fine for a throughput bench.
     scene = b.finalize(candidate_margin=3.0)
     # motors: position-drive the hinges, velocity-drive the sliders
     c = scene.default_controls

@@ -3,7 +3,7 @@
 Ports of ops/narrowphase.py contact functions to the layout Pallas TPU
 kernels want: every vec3 is a tuple of 3 same-shaped arrays whose shape is
 (pairs, env-lanes) — the reference's math_simd.h wN_vec3 struct-of-lanes
-(see core/soa.py), with the env batch on the vector lanes.
+layout, with the env batch on the vector lanes.
 
 Each recipe is the SAME math as its array-of-structs sibling (cited there
 against collision_narrow.cpp); unit tests pin them against each other
@@ -26,7 +26,7 @@ SAT_TIE_TOL = 1e-4     # keep equal to narrowphase.SAT_TIE_TOL (kernel-safe copy
 REDUCE_TIE_TOL = 1e-4  # keep equal to manifold.REDUCE_TIE_TOL
 
 
-# ---- v3 helpers (soa.py, local to avoid cross-module kernel imports) ----
+# ---- v3 helpers (local to avoid cross-module kernel imports) ----
 
 def _add(a, b):
     return (a[0] + b[0], a[1] + b[1], a[2] + b[2])

@@ -9,7 +9,8 @@ the kernel: world collider params (a few KB per env) go in, solved
 velocities come out, and every (B, P, 4, 3) intermediate disappears.
 
 Architecture: `_fused_core` is a pure-jnp function over component-major
-arrays (pairs on sublanes, env lanes minor — core/soa.py layout). It runs
+arrays (pairs on sublanes, env lanes minor — math_simd.h's struct-of-lanes
+layout). It runs
 unchanged in two places:
 
   - inside the Pallas kernel (one 128-env chunk per grid step), where its

@@ -110,8 +110,8 @@ class ContactPrep:
     Layout note: a component-major (comp, P) variant was tried and reverted
     — XLA's per-op overhead on the ~3x larger op graph cost far more than
     the lane-utilization win (908 eqns/pass, 16 s compiles, >100 ms/pass on
-    CPU). Component-major layouts belong inside Pallas kernels (core/soa.py)
-    where ops fuse for free."""
+    CPU). Component-major layouts belong inside Pallas kernels
+    (cm_narrowphase.py) where ops fuse for free."""
 
     body_a: jnp.ndarray        # (P,)
     body_b: jnp.ndarray        # (P,)

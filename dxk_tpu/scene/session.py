@@ -98,3 +98,18 @@ class SceneSession:
     def device_get(self):
         """Host copy of the current state (for serialization/UI)."""
         return jax.device_get(self.state)
+
+    # ---- editor picking (src/core/nearest_neighbor.*) ----------------------
+
+    def pick_nearest_body(self, point, k=1):
+        """Editor picking: the k bodies whose centers are nearest `point`
+        (the reference wraps nanoflann for this, nearest_neighbor.h; on TPU
+        a dense masked distance matrix + top_k beats any tree at engine
+        point counts). Returns (indices (k,), sq_dists (k,))."""
+        import jax.numpy as jnp
+
+        from dxk_tpu.utils.knn import knn
+
+        q = jnp.asarray(point, jnp.float32)[None, :]
+        idx, sq = knn(self.state.pos, q, k)
+        return idx[0], sq[0]

@@ -12,14 +12,15 @@ from dxk_tpu.scene import SceneBuilder
 from dxk_tpu.scene.islands import NotIslandizable, islandize
 
 
-def _towers_scene(n_towers=4, height=4, phases=4, margin=1.0):
+def _towers_scene(n_towers=4, height=4, phases=4, margin=1.0,
+                  base=0.4995, spacing=0.9995):
     b = SceneBuilder()
     g = b.add_static()
     b.add_box_collider(g, (0, -1, 0), (60, 1, 60))
     for t in range(n_towers):
         x = t * 3.0
         for i in range(height):
-            bd = b.add_body(position=(x, 0.4995 + 0.9995 * i, 0.0))
+            bd = b.add_body(position=(x, base + spacing * i, 0.0))
             b.add_box_collider(bd, (0, 0, 0), (0.5, 0.5, 0.5))
     return b.finalize(contact_phases=phases, candidate_margin=margin)
 
@@ -102,18 +103,22 @@ def test_island_step_fused_mode():
 def test_island_towers_stand_at_bench_tuning():
     """The bench's tuned box-stack settings (contact_phases=2,
     candidate_margin=0.25 — the round-3 on-chip sweep winner at 19.2M
-    body-steps/s) must keep towers standing: 600 fused steps at 60 Hz, no
-    box may leave its column or fall below its start height band.
+    body-steps/s) must keep towers standing: 600 fused steps at the
+    bench's exact spawn (0.5 + 1.001*i gaps) and dt (1/120), no box may
+    leave its column or fall below its start height band. This is the
+    standing-tower invariant that licenses margin 0.25's pruning of
+    next-nearest intra-tower pairs (bench.py docstring).
 
     slow: same box_box_cm XLA:CPU compile cost as
     test_island_step_fused_mode; cached after the first run."""
-    scene = _towers_scene(n_towers=4, height=16, phases=2, margin=0.25)
+    scene = _towers_scene(n_towers=4, height=16, phases=2, margin=0.25,
+                          base=0.5, spacing=1.001)
     im = islandize(scene)
     settings = PhysicsSettings(num_rigid_solver_iterations=30,
                                solver_mode="fused")
     isl0 = im.gather(scene.initial_state())
     step = jax.jit(jax.vmap(
-        lambda s: physics_step(im.sub_scene, s, settings, 1 / 60.0)[0]))
+        lambda s: physics_step(im.sub_scene, s, settings, 1 / 120.0)[0]))
     st = isl0
     for _ in range(600):
         st = step(st)

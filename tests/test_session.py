@@ -66,3 +66,13 @@ def test_undo_stack():
     assert float(sess.state.pos[1, 0]) == x0
     sess.undo()                                       # empty: no-op
     assert float(sess.state.pos[1, 0]) == x0
+
+
+def test_pick_nearest_body():
+    """Editor picking rides utils.knn (nearest_neighbor.h analog): the
+    query next to the dynamic sphere picks it over the static ground."""
+    scene, step = _make()
+    sess = SceneSession(scene, step)
+    idx, sq = sess.pick_nearest_body((0.1, 2.0, 0.0))
+    assert int(idx[0]) == 1
+    assert float(sq[0]) < 0.02

@@ -173,3 +173,180 @@ def test_scan_vs_parallel_modes_per_joint(kind):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+# ---- round-4 oracles (VERDICT r3 next #4) ---------------------------------
+# Each runs in BOTH "scan" (reference-exact sequential impulses) and
+# "fused_seq" (the same semantics routed through the fused-pipeline code
+# path; unbatched it lowers to the sequential XLA path, bit-exact with the
+# kernel on step 1 — tests/test_fused_seq.py).
+
+ORACLE_MODES = ["scan", "fused_seq"]
+
+
+class TestFrictionCone:
+    """Coulomb-cone slide-vs-stick threshold on an inclined plane: a box
+    resting on a slope of angle alpha sticks iff mu >= tan(alpha).
+    Solver parity: per-point tangential impulses clamped to mu * normal
+    impulse (constraints.cpp:3407-3451); pair friction = sqrt(fA * fB)
+    (collision_narrow.cpp:2131,2234)."""
+
+    ALPHA = float(np.deg2rad(20.0))          # tan(alpha) = 0.364
+
+    def _incline_scene(self, mu):
+        rot = (0.0, 0.0, float(np.sin(self.ALPHA / 2)),
+               float(np.cos(self.ALPHA / 2)))
+        n = np.array([-np.sin(self.ALPHA), np.cos(self.ALPHA), 0.0])
+        b = SceneBuilder()
+        g = b.add_static(rotation=rot)
+        b.add_box_collider(g, (0, -1, 0), (20, 1, 20), friction=mu,
+                           restitution=0.0)
+        bd = b.add_body(position=tuple(0.5001 * n), rotation=rot,
+                        linear_damping=0.0, angular_damping=0.0)
+        b.add_box_collider(bd, (0, 0, 0), (0.5, 0.5, 0.5), friction=mu,
+                           restitution=0.0)
+        return b.finalize()
+
+    @pytest.mark.parametrize("mode", ORACLE_MODES)
+    def test_stick_above_cone(self, mode):
+        """mu = 0.7 > tan(20 deg): static friction holds the box (bounded
+        solver micro-creep only) over 2 s."""
+        scene = self._incline_scene(0.7)
+        p0 = np.asarray(scene.initial_state().pos[1]).copy()
+        st, _ = _run(scene, 240, mode=mode)
+        disp = np.linalg.norm(np.asarray(st.pos[1]) - p0)
+        assert disp < 0.01, disp
+
+    @pytest.mark.parametrize("mode", ORACLE_MODES)
+    def test_slide_below_cone_matches_analytic(self, mode):
+        """mu = 0.1 < tan(20 deg): the box slides down with
+        a = g (sin a - mu cos a); distance after 2 s within 25% of
+        0.5 a t^2 (discrete friction + Baumgarte tolerance)."""
+        mu = 0.1
+        scene = self._incline_scene(mu)
+        p0 = np.asarray(scene.initial_state().pos[1]).copy()
+        st, _ = _run(scene, 240, mode=mode)
+        t_dir = np.array([np.cos(self.ALPHA), np.sin(self.ALPHA), 0.0])
+        disp = np.asarray(st.pos[1]) - p0
+        s = -float(disp @ t_dir)             # downhill is -t
+        T = 240 * DT
+        a = 9.81 * (np.sin(self.ALPHA) - mu * np.cos(self.ALPHA))
+        s_expect = 0.5 * a * T * T
+        assert 0.75 * s_expect < s < 1.25 * s_expect, (s, s_expect)
+        # it slid along the slope, not off it
+        assert abs(float(disp[2])) < 0.02
+
+
+class TestEnergyEnvelope:
+    """Total mechanical energy (KE_lin + KE_rot + PE, zero damping, zero
+    restitution) over a 1000-step drop-and-settle must never exceed its
+    initial value beyond fp/Baumgarte slop and must end almost fully
+    dissipated — inelastic contacts only remove energy."""
+
+    @staticmethod
+    def _energy(scene, st):
+        inv_m = np.asarray(scene.body_params.inv_mass)
+        dyn = inv_m > 0
+        m = np.where(dyn, 1.0 / np.where(dyn, inv_m, 1.0), 0.0)
+        pos = np.asarray(st.pos)
+        v = np.asarray(st.lin_vel)
+        w = np.asarray(st.ang_vel)
+        rot = np.asarray(st.rot)
+        e = 0.0
+        for i in np.where(dyn)[0]:
+            x, y, z, ww = rot[i]
+            R = np.array([
+                [1 - 2 * (y * y + z * z), 2 * (x * y - z * ww),
+                 2 * (x * z + y * ww)],
+                [2 * (x * y + z * ww), 1 - 2 * (x * x + z * z),
+                 2 * (y * z - x * ww)],
+                [2 * (x * z - y * ww), 2 * (y * z + x * ww),
+                 1 - 2 * (x * x + y * y)]])
+            I_loc = np.linalg.inv(np.asarray(scene.body_params.inv_inertia[i]))
+            I_w = R @ I_loc @ R.T
+            e += 0.5 * m[i] * float(v[i] @ v[i])
+            e += 0.5 * float(w[i] @ I_w @ w[i])
+            e += m[i] * 9.81 * float(pos[i][1])
+        return float(e)
+
+    @pytest.mark.parametrize("mode", ORACLE_MODES)
+    def test_drop_settle_dissipates(self, mode):
+        b = SceneBuilder()
+        g = b.add_static()
+        b.add_box_collider(g, (0, -1, 0), (20, 1, 20), restitution=0.0)
+        for i in range(3):
+            bd = b.add_body(position=(0.02 * i, 1.0 + 1.1 * i, -0.01 * i),
+                            linear_damping=0.0, angular_damping=0.0)
+            b.add_box_collider(bd, (0, 0, 0), (0.4, 0.4, 0.4),
+                               restitution=0.0)
+        s = b.add_body(position=(1.5, 2.0, 0.0),
+                       linear_damping=0.0, angular_damping=0.0)
+        b.add_sphere_collider(s, (0, 0, 0), 0.4, restitution=0.0)
+        scene = b.finalize()
+
+        E0 = self._energy(scene, scene.initial_state())
+        st, energies = _run(scene, 1000, mode=mode,
+                            record=lambda s: self._energy(scene, s))
+        E = np.asarray(energies)
+        # envelope: never above the initial energy beyond 1% slop
+        # (Baumgarte pushout can briefly convert penetration into PE)
+        assert E.max() <= E0 * 1.01 + 1e-3, (E.max(), E0)
+        # the drop energy was dissipated (analytic resting PE for the
+        # 3-stack + sphere is ~0.52 * E0; measured settle lands there)
+        assert E[-1] < 0.6 * E0, (E[-1], E0)
+        # settled: residual kinetic energy (PE datum y=0) is negligible
+        ke = self._energy(scene, st.replace(
+            pos=st.pos * np.array([1.0, 0.0, 1.0])))
+        assert ke < 1e-3 * E0, (ke, E0)
+
+
+class TestPositionMotorSemantics:
+    """Position motors set the motor velocity so the target angle is
+    reached within ONE frame, then clamp the accumulated impulse to
+    maxMotorTorque * dt (constraints.cpp:1182,1189-1197)."""
+
+    TARGET = 0.3
+
+    def _hinge_scene(self, max_torque):
+        import jax.numpy as jnp
+        b = SceneBuilder()
+        anchor = b.add_body(position=(0, 3, 0), kinematic=True)
+        link = b.add_body(position=(0, 3, 0), gravity_factor=0.0,
+                          linear_damping=0.0, angular_damping=0.0)
+        b.add_box_collider(link, (0, 0, 0), (0.4, 0.4, 0.4))
+        b.add_hinge_constraint(anchor, link, (0, 3, 0), (0, 0, 1))
+        scene = b.finalize()
+        c = scene.default_controls
+        c = c.replace(
+            hinge_motor_type=jnp.ones_like(c.hinge_motor_type),
+            hinge_target=jnp.full_like(c.hinge_target, self.TARGET),
+            hinge_max_torque=jnp.full_like(c.hinge_max_torque, max_torque))
+        return scene.replace(default_controls=c)
+
+    @staticmethod
+    def _angle_z(st, i=1):
+        q = np.asarray(st.rot[i])
+        return 2.0 * float(np.arctan2(q[2], q[3]))
+
+    @pytest.mark.parametrize("mode", ORACLE_MODES)
+    def test_unclamped_reaches_target_in_one_frame(self, mode):
+        scene = self._hinge_scene(max_torque=1e6)
+        st, _ = _run(scene, 1, mode=mode)
+        theta = self._angle_z(st)
+        assert abs(theta - self.TARGET) < 0.02 * self.TARGET, theta
+
+    @pytest.mark.parametrize("mode", ORACLE_MODES)
+    def test_clamped_angle_ramp_matches_torque_dt(self, mode):
+        """Saturated motor: each step adds dw = tau * dt * invI_zz, so
+        theta after N steps = dw * dt * N(N+1)/2 (impulses reset per step,
+        no warm starting — constraints.cpp:3324-3325)."""
+        tau, N = 50.0, 20
+        scene = self._hinge_scene(max_torque=tau)
+        inv_I_zz = float(np.asarray(scene.body_params.inv_inertia[1])[2, 2])
+        st, _ = _run(scene, N, mode=mode)
+        theta = self._angle_z(st)
+        dw = tau * DT * inv_I_zz
+        theta_expect = dw * DT * N * (N + 1) / 2
+        assert theta_expect < 0.1 * self.TARGET    # stays saturated
+        assert abs(theta - theta_expect) < 0.05 * theta_expect, (
+            theta, theta_expect)

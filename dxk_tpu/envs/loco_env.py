@@ -19,7 +19,8 @@ import numpy as np
 from flax import struct
 
 from dxk_tpu.core.maths import quat_conj, quat_mul, quat_rotate
-from dxk_tpu.models.ragdoll import add_ragdoll
+from dxk_tpu.scene.builder import _np_quat_rotate as _np_rot
+from dxk_tpu.models.ragdoll import BODY_PART_PARENTS, add_ragdoll
 from dxk_tpu.physics import PhysicsSettings, apply_ray_impulse, physics_step
 from dxk_tpu.scene import SceneBuilder
 from dxk_tpu.scene.scene import Scene, State
@@ -35,6 +36,14 @@ POKE_PROBABILITY = 0.02                            # learned_locomotion.cpp:458
 POKE_STRENGTH = 1000.0                             # physics.h:404 default
 DT = 1.0 / 60.0                                    # learned_locomotion.cpp:470-472
 FALL_HEAD_HEIGHT = 1.0                             # learned_locomotion.cpp:152
+
+# Procedural gait reference (the DReCon kinematic-clip stand-in: the
+# reference engine tracks mocap walking clips via rp/rv/rlocal,
+# learned_locomotion.cpp:329-357; we synthesize the clip analytically).
+GAIT_FREQUENCY = 1.4          # Hz, one full left+right cycle
+GAIT_LEG_LENGTH = 0.9         # m, hip-to-ground at ragdoll SCALE 0.42
+GAIT_KNEE_RATIO = 1.4         # knee flexion amplitude / hip swing amplitude
+GAIT_KNEE_PHASE = 0.4         # rad, knee flexion lags the forward hip swing
 
 
 @struct.dataclass
@@ -55,12 +64,30 @@ class LocoEnv:
     def __init__(self, solver_iterations: int = 30, solver_mode: str = "scan",
                  max_narrow_pairs: int = 48, enable_pokes: bool = True,
                  narrow_caps: dict = None,
-                 torso_velocity_target=(0.0, 0.0, 0.0)):
+                 torso_velocity_target=(0.0, 0.0, 0.0),
+                 gait: bool = None):
         # torso_velocity_target: the DReCon-style walking target subtracted
         # in the vcm reward term (learned_locomotion.cpp:345 vcmError;
         # default vec3(0) = standing, learned_locomotion.cpp:41)
         self.torso_velocity_target = jnp.asarray(torso_velocity_target,
                                                  jnp.float32)
+        # gait=True enables the procedural walking reference: leg joints of
+        # the kinematic target pose oscillate at GAIT_FREQUENCY with hip
+        # amplitude matched to the commanded speed, and the observation
+        # gains sin/cos gait-phase features (obs_size 68). None = auto
+        # (enabled iff the walk target is non-zero). Pass gait=True
+        # explicitly in a curriculum so the obs size is stable across
+        # stages (amplitude scales with each stage's target, reaching 0
+        # amplitude == the standing reference at target 0).
+        v_norm = float(np.linalg.norm(np.asarray(torso_velocity_target,
+                                                 np.float64)))
+        self.gait_enabled = bool(gait) if gait is not None else v_norm > 0.0
+        self.obs_size = OBS_SIZE + (2 if self.gait_enabled else 0)
+        # hip swing amplitude so foot ground-speed ~= commanded speed:
+        # v = 2 * L * sin(A) * f  =>  A = asin(v / (2 L f))
+        self.gait_hip_amp = float(np.arcsin(np.clip(
+            v_norm / (2.0 * GAIT_LEG_LENGTH * GAIT_FREQUENCY), 0.0, 0.95)))
+        self.gait_knee_amp = GAIT_KNEE_RATIO * self.gait_hip_amp
         b = SceneBuilder()
         ground = b.add_static(position=(0.0, -4.0, 0.0))
         b.add_box_collider(ground, (0, 0, 0), (20.0, 4.0, 20.0),
@@ -117,6 +144,37 @@ class LocoEnv:
         self.target_velocities = tv       # (14, 6, 3)
         self.target_local_rotations = tr  # (14, 4)
         self.head_target_height = float(init.pos[self.head_id, 1])
+
+        # gait-reference forward kinematics constants: world-space joint
+        # anchors of hips/knees/ankles at the base (standing) pose, plus the
+        # base world rotations per part. The reference pose is the base pose
+        # with each leg chain rotated about the lateral (+x) axis at these
+        # anchors (see _gait_pose).
+        if self.gait_enabled:
+            ct_ids = rag.cone_twist_ids
+            hg_ids = rag.hinge_ids
+            pos0 = np.asarray(init.pos)
+            rot0 = np.asarray(init.rot)
+
+            def world_anchor(arrs, j):
+                a = int(np.asarray(arrs.body_a)[j])
+                la = np.asarray(arrs.local_anchor_a)[j]
+                return pos0[a] + _np_rot(rot0[a], la)
+
+            jct, jh = self.scene.cone_twist, self.scene.hinge
+            # ct order (ragdoll.h:61-67): neck, l/r shoulder, L hip, L ankle,
+            # R hip, R ankle; hinge order: l/r elbow, L knee, L toes, R knee,
+            # R toes (models/ragdoll.py)
+            self._gait_anchors = jnp.asarray(np.stack([
+                world_anchor(jct, ct_ids[3]),   # left hip
+                world_anchor(jh, hg_ids[2]),    # left knee
+                world_anchor(jct, ct_ids[4]),   # left ankle
+                world_anchor(jct, ct_ids[5]),   # right hip
+                world_anchor(jh, hg_ids[4]),    # right knee
+                world_anchor(jct, ct_ids[6]),   # right ankle
+            ]), jnp.float32)
+            self._base_rot = jnp.asarray(rot0[np.asarray(rag.body_ids)],
+                                         jnp.float32)  # (14, 4)
 
         # action ranges (getPhysicsRanges, learned_locomotion.cpp:398-427)
         self.action_min, self.action_max = self._action_ranges()
@@ -228,10 +286,13 @@ class LocoEnv:
 
     # -- observation / reward ------------------------------------------------
 
-    def _observe(self, state: State, smoothed) -> jnp.ndarray:
+    def _observe(self, state: State, smoothed, t=0.0) -> jnp.ndarray:
         """getState (learned_locomotion.cpp:133-148): everything in the
         torso-ground frame (identity rotation, origin = torso COG with
-        y zeroed, getCoordinateSystem 114-122)."""
+        y zeroed, getCoordinateSystem 114-122). With gait enabled, two
+        gait-phase features (sin, cos) are appended — the policy must know
+        where in the cycle the kinematic reference is (DReCon feeds the
+        clip phase to the policy the same way)."""
         bp = self.scene.body_params
         torso_cog = (state.pos[self.torso_id]
                      + quat_rotate(state.rot[self.torso_id],
@@ -245,13 +306,84 @@ class LocoEnv:
 
         cog_velocity = state.lin_vel[self.torso_id]
         parts = jnp.concatenate([rel_pos, vel], axis=-1).reshape(-1)
-        return jnp.concatenate([cog_velocity, parts, smoothed])
+        obs = jnp.concatenate([cog_velocity, parts, smoothed])
+        if self.gait_enabled:
+            phase = (2.0 * jnp.pi * GAIT_FREQUENCY) * jnp.asarray(
+                t, jnp.float32)
+            obs = jnp.concatenate(
+                [obs, jnp.stack([jnp.sin(phase), jnp.cos(phase)])])
+        return obs
 
     def _head_height(self, state: State):
         return state.pos[self.head_id, 1]
 
     def has_fallen(self, state: State):
         return self._head_height(state) < FALL_HEAD_HEIGHT
+
+    def _gait_pose(self, t):
+        """Kinematic walking-reference pose at episode time `t`: per-part
+        rigid transforms (rot (14,4), trans (14,3)) mapping the base
+        standing pose to the gait pose (before the forward drift).
+
+        Each leg chain rotates about the lateral (+x) axis at its base-pose
+        joint anchors: hips swing sinusoidally in antiphase, knees flex
+        during the swing phase (hinge range is -90..5 deg so flexion is
+        negative, ragdoll.cpp:118-121), ankles counter-rotate so the feet
+        stay level. This is the procedural stand-in for the mocap clips the
+        reference's DReCon setup tracks (learned_locomotion.cpp:329-357);
+        amplitude 0 (walk target 0) is exactly the standing reference."""
+        phase = (2.0 * jnp.pi * GAIT_FREQUENCY) * t
+        ident = (jnp.zeros((4,)).at[3].set(1.0), jnp.zeros((3,)))
+
+        def rot_about(theta, anchor):
+            # rotation by theta about +x through `anchor`:
+            # x -> q(x - A) + A  ==  (q, A - q(A))
+            half = 0.5 * theta
+            q = jnp.stack([jnp.sin(half), 0.0 * half, 0.0 * half,
+                           jnp.cos(half)])
+            return q, anchor - quat_rotate(q, anchor)
+
+        def compose(outer, inner):
+            # x -> outer(inner(x))
+            qo, to = outer
+            qi, ti = inner
+            return quat_mul(qo, qi), quat_rotate(qo, ti) + to
+
+        def leg(ph, a_hip, a_knee, a_ankle):
+            th_hip = self.gait_hip_amp * jnp.sin(ph)
+            th_knee = -self.gait_knee_amp * jnp.maximum(
+                0.0, jnp.sin(ph + GAIT_KNEE_PHASE))
+            m_hip = rot_about(th_hip, a_hip)
+            m_knee = compose(m_hip, rot_about(th_knee, a_knee))
+            # ankle counter-rotation keeps the foot level through the cycle
+            m_foot = compose(m_knee, rot_about(-(th_hip + th_knee), a_ankle))
+            return m_hip, m_knee, m_foot
+
+        a = self._gait_anchors
+        l_hip, l_knee, l_foot = leg(phase, a[0], a[1], a[2])
+        r_hip, r_knee, r_foot = leg(phase + jnp.pi, a[3], a[4], a[5])
+        # BODY_PART_NAMES order: torso, head, l/r arms (4), then
+        # l_u_leg, l_l_leg, l_foot, l_toes, r_u_leg, r_l_leg, r_foot, r_toes
+        per_part = [ident] * 6 + [l_hip, l_knee, l_foot, l_foot,
+                                  r_hip, r_knee, r_foot, r_foot]
+        rots = jnp.stack([p[0] for p in per_part])     # (14, 4)
+        trans = jnp.stack([p[1] for p in per_part])    # (14, 3)
+        return rots, trans
+
+    def _gait_targets(self, t):
+        """Gait-reference (positions (14,6,3), local rotations (14,4)) at
+        time t, before drift."""
+        rots, trans = self._gait_pose(t)
+        tp = (quat_rotate(rots[:, None, :], self.target_positions)
+              + trans[:, None, :])
+        q_ref = quat_mul(rots, self._base_rot)
+        # part-index parents (NOT body ids — q_ref is (14,) part-indexed)
+        parent = jnp.asarray(np.array(BODY_PART_PARENTS, np.int32))
+        parent_q = jnp.where((parent >= 0)[:, None],
+                             q_ref[jnp.maximum(parent, 0)],
+                             jnp.array([0.0, 0.0, 0.0, 1.0]))
+        tr = quat_mul(q_ref, quat_conj(parent_q))
+        return tp, tr
 
     def reward(self, state: State, t=0.0) -> jnp.ndarray:
         """getReward (learned_locomotion.cpp:329-357).
@@ -264,16 +396,29 @@ class LocoEnv:
         pos_err grows without bound for any policy that actually walks, so
         standing always dominates. With t*v_target translation, rp/rv reward
         *following* the moving reference; gait emerges because feet cannot
-        glide on a friction ground. Exactly the standing reward when
-        torso_velocity_target == 0 (t * 0 == 0)."""
+        glide on a friction ground. With gait enabled the reference
+        additionally steps its legs (_gait_pose), giving rp/rv/rlocal a
+        walking clip to track instead of a glide. Exactly the standing
+        reward when torso_velocity_target == 0 (t * 0 == 0)."""
         tp, tv, tr = self._body_part_targets(state)
         drift = self.torso_velocity_target * t
-        pos_err = jnp.sum(jnp.linalg.norm(
-            tp - (self.target_positions + drift), axis=-1))
-        vel_err = jnp.sum(jnp.linalg.norm(
-            tv - (self.target_velocities + self.torso_velocity_target),
-            axis=-1))
-        rot_diff = quat_mul(self.target_local_rotations, quat_conj(tr))
+        if self.gait_enabled:
+            ref_p, ref_r = self._gait_targets(t)
+            prev_p, _ = self._gait_targets(t - DT)
+            target_positions = ref_p + drift
+            # reference point velocities by finite difference over one
+            # control step (drift contributes the walk target exactly)
+            target_velocities = ((ref_p - prev_p) / DT
+                                 + self.torso_velocity_target)
+            target_local_rotations = ref_r
+        else:
+            target_positions = self.target_positions + drift
+            target_velocities = (self.target_velocities
+                                 + self.torso_velocity_target)
+            target_local_rotations = self.target_local_rotations
+        pos_err = jnp.sum(jnp.linalg.norm(tp - target_positions, axis=-1))
+        vel_err = jnp.sum(jnp.linalg.norm(tv - target_velocities, axis=-1))
+        rot_diff = quat_mul(target_local_rotations, quat_conj(tr))
         rot_err = jnp.sum(2.0 * jnp.arccos(jnp.clip(rot_diff[..., 3], -1.0, 1.0)))
 
         vcm_err = jnp.linalg.norm(state.lin_vel[self.torso_id]
@@ -324,9 +469,9 @@ class LocoEnv:
 
         state, _ = physics_step(self.scene, state, self.settings, DT)
 
-        obs = self._observe(state, smoothed)
-        done = self.has_fallen(state)
         t = (env.steps + 1).astype(jnp.float32) * DT
+        obs = self._observe(state, smoothed, t)
+        done = self.has_fallen(state)
         reward = jnp.where(done, 0.0, self.reward(state, t))
 
         next_env = EnvState(physics=state, smoothed_action=smoothed, rng=rng,

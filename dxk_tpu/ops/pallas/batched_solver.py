@@ -627,10 +627,13 @@ def pack_joint_type(name, prep):
 
 
 def _write_body_row(vw, n, va, wa):
-    """Write body n's 6 components back into vw (NB, 6L) — static row
-    index, so this lowers to a (sublane-masked) vreg update."""
+    """Write body n's 6 components back into vw (NB, 6L). Masked select on
+    a static row index: .at[n].set emits a scatter, which Mosaic cannot
+    lower even when n is a Python int (docs/PERF_NOTES.md kernel gotchas);
+    the iota-mask select lowers to a vreg blend."""
     row = jnp.concatenate(list(va) + list(wa), axis=-1)      # (6L,)
-    return vw.at[n].set(row)
+    sel = jax.lax.broadcasted_iota(jnp.int32, vw.shape, 0) == n
+    return jnp.where(sel, row[None, :], vw)
 
 
 def _solve_joint_type(name, ab, t, vw, invm_t, invI_t, nb, L, inv_deg6,

@@ -574,8 +574,13 @@ def _fused_core(metas, joints, nbody, L, num_iterations, omega,
                         va, wa, vb, wb, ik_n, ik_t = _contact_point(
                             cv_p, cs_p, inv_ma[p], inv_mb[p],
                             va, wa, vb, wb, imp_n[k][p], imp_t[k][p])
-                        imp_n[k] = imp_n[k].at[p].set(ik_n)
-                        imp_t[k] = imp_t[k].at[p].set(ik_t)
+                        # masked row write: .at[p].set emits a scatter,
+                        # which Mosaic cannot lower even for a static p
+                        # (docs/PERF_NOTES.md kernel gotchas)
+                        sel = jax.lax.broadcasted_iota(
+                            jnp.int32, imp_n[k].shape, 0) == p
+                        imp_n[k] = jnp.where(sel, ik_n[None, :], imp_n[k])
+                        imp_t[k] = jnp.where(sel, ik_t[None, :], imp_t[k])
                     vw = _write_body_row(vw, a, va, wa)
                     vw = _write_body_row(vw, b, vb, wb)
                 new_con_imps[g] = (imp_n, imp_t)

@@ -79,7 +79,8 @@ def make_train(env, config: PPOConfig = PPOConfig()):
 
     def init_fn(key):
         k_net, k_env, k_run = jax.random.split(key, 3)
-        params = net.init(k_net, jnp.zeros((66,)))
+        obs_dim = getattr(env, "obs_size", 66)  # 68 with gait-phase features
+        params = net.init(k_net, jnp.zeros((obs_dim,)))
         opt_state = tx.init(params)
         env_keys = jax.random.split(k_env, config.num_envs)
         env_state, obs = jax.vmap(env.reset)(env_keys)

@@ -25,7 +25,7 @@ env = LocoEnv(solver_iterations=30, solver_mode=_args.solver_mode,
               torso_velocity_target=(_args.walk_target, 0.0, 0.0))
 net = ActorCritic(action_dim=27)
 ckpt = Checkpointer(sys.argv[1] if len(sys.argv) > 1 else "/tmp/dxk_loco_ckpt")
-tmpl = net.init(jax.random.PRNGKey(0), jnp.zeros((66,)))
+tmpl = net.init(jax.random.PRNGKey(0), jnp.zeros((env.obs_size,)))
 params = ckpt.restore(template=tmpl)
 print("loaded checkpoint step", ckpt.latest_step)
 

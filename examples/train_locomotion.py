@@ -58,10 +58,14 @@ def main():
                        num_minibatches=max(4, num_envs // 64))
 
     def make_step(target):
+        # gait is pinned to the RUN's walk-target (not the stage's) so the
+        # obs size (66 vs 68 with phase features) is stable across
+        # curriculum stages and checkpoints stay compatible
         env = LocoEnv(solver_iterations=args.solver_iterations,
                       solver_mode=args.solver_mode,
                       narrow_caps={(1, 1): 24, (1, 3): 20, (3, 3): 3},
-                      torso_velocity_target=(target, 0.0, 0.0))
+                      torso_velocity_target=(target, 0.0, 0.0),
+                      gait=(args.walk_target != 0.0))
         init_fn, train_step = make_train(env, config)
         return init_fn, jax.jit(train_step)
 

@@ -125,5 +125,64 @@ class TestWalkTarget:
         assert r0 == r_t
 
 
+class TestGaitReference:
+    """Procedural walking reference (_gait_pose/_gait_targets): the DReCon
+    kinematic-clip stand-in (learned_locomotion.cpp:329-357 tracks mocap
+    clips; the rebuild synthesizes the clip analytically)."""
+
+    def test_amp_zero_is_exactly_standing(self):
+        """gait=True with walk target 0 has amplitude 0: identical reward
+        to the standing env at any t, obs gains only the 2 phase floats."""
+        e0 = LocoEnv(solver_iterations=8, solver_mode="jacobi",
+                     enable_pokes=False)
+        e1 = LocoEnv(solver_iterations=8, solver_mode="jacobi",
+                     enable_pokes=False, gait=True)
+        assert (e0.obs_size, e1.obs_size) == (66, 68)
+        st0, o0 = e0.reset(jax.random.PRNGKey(0))
+        st1, o1 = e1.reset(jax.random.PRNGKey(0))
+        np.testing.assert_array_equal(np.asarray(o0), np.asarray(o1[:66]))
+        assert float(e0.reward(st0.physics, 0.5)) == pytest.approx(
+            float(e1.reward(st1.physics, 0.5)), abs=1e-6)
+
+    def test_gait_targets_oscillate_and_feet_stay_level(self):
+        env = LocoEnv(solver_iterations=8, solver_mode="jacobi",
+                      enable_pokes=False,
+                      torso_velocity_target=(1.0, 0.0, 0.0))
+        assert env.gait_enabled and env.gait_hip_amp > 0.2
+        tp1, tr1 = env._gait_targets(0.1)
+        tp2, tr2 = env._gait_targets(0.3)
+        assert bool(jnp.all(jnp.isfinite(tp1)) & jnp.all(jnp.isfinite(tr1)))
+        # leg targets move through the cycle
+        assert float(jnp.max(jnp.abs(tp1 - tp2))) > 0.02
+        # ankle counter-rotation: foot/toes world delta rotation ~identity
+        rots, _ = env._gait_pose(0.2)
+        for part in (8, 9, 12, 13):   # feet + toes
+            assert float(jnp.abs(rots[part, 3])) > 1.0 - 1e-5
+        # legs antiphase: left hip delta == right hip delta half a cycle on
+        rots_l, _ = env._gait_pose(0.2)
+        from dxk_tpu.envs.loco_env import GAIT_FREQUENCY
+        rots_r, _ = env._gait_pose(0.2 + 0.5 / GAIT_FREQUENCY)
+        np.testing.assert_allclose(np.asarray(rots_l[6]),
+                                   np.asarray(rots_r[10]), atol=1e-5)
+
+    def test_phase_obs_and_step(self):
+        env = LocoEnv(solver_iterations=8, solver_mode="jacobi",
+                      enable_pokes=False,
+                      torso_velocity_target=(1.0, 0.0, 0.0))
+        st, obs = env.reset(jax.random.PRNGKey(0))
+        assert obs.shape == (68,)
+        # at t=0 the phase features are (sin 0, cos 0) = (0, 1)
+        np.testing.assert_allclose(np.asarray(obs[-2:]), [0.0, 1.0],
+                                   atol=1e-6)
+        step = jax.jit(env.step)
+        st, obs, r, d = step(st, jnp.zeros((27,)))
+        assert bool(jnp.all(jnp.isfinite(obs))) and np.isfinite(float(r))
+        # phase advanced by one control step
+        from dxk_tpu.envs.loco_env import DT, GAIT_FREQUENCY
+        ph = 2 * np.pi * GAIT_FREQUENCY * DT
+        np.testing.assert_allclose(np.asarray(obs[-2:]),
+                                   [np.sin(ph), np.cos(ph)], atol=1e-5)
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])

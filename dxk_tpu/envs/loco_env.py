@@ -74,7 +74,8 @@ class LocoEnv:
         # gait=True enables the procedural walking reference: leg joints of
         # the kinematic target pose oscillate at GAIT_FREQUENCY with hip
         # amplitude matched to the commanded speed, and the observation
-        # gains sin/cos gait-phase features (obs_size 68). None = auto
+        # gains sin/cos phase + reference-root tracking-error features
+        # (obs_size 71). None = auto
         # (enabled iff the walk target is non-zero). Pass gait=True
         # explicitly in a curriculum so the obs size is stable across
         # stages (amplitude scales with each stage's target, reaching 0
@@ -82,7 +83,12 @@ class LocoEnv:
         v_norm = float(np.linalg.norm(np.asarray(torso_velocity_target,
                                                  np.float64)))
         self.gait_enabled = bool(gait) if gait is not None else v_norm > 0.0
-        self.obs_size = OBS_SIZE + (2 if self.gait_enabled else 0)
+        # +2 phase features (sin/cos) and +3 reference-root tracking error:
+        # the reward's rp term tracks a WORLD-frame drifting reference, and
+        # the 66-float obs is torso-local — without the error the reward is
+        # partially unobservable (DReCon feeds reference-relative state for
+        # the same reason)
+        self.obs_size = OBS_SIZE + (5 if self.gait_enabled else 0)
         # hip swing amplitude so foot ground-speed ~= commanded speed:
         # v = 2 * L * sin(A) * f  =>  A = asin(v / (2 L f))
         self.gait_hip_amp = float(np.arcsin(np.clip(
@@ -175,6 +181,12 @@ class LocoEnv:
             ]), jnp.float32)
             self._base_rot = jnp.asarray(rot0[np.asarray(rag.body_ids)],
                                          jnp.float32)  # (14, 4)
+            bp = self.scene.body_params
+            self._init_torso_cog = jnp.asarray(
+                pos0[self.torso_id]
+                + _np_rot(rot0[self.torso_id],
+                          np.asarray(bp.local_cog)[self.torso_id]),
+                jnp.float32)
 
         # action ranges (getPhysicsRanges, learned_locomotion.cpp:398-427)
         self.action_min, self.action_max = self._action_ranges()
@@ -289,10 +301,11 @@ class LocoEnv:
     def _observe(self, state: State, smoothed, t=0.0) -> jnp.ndarray:
         """getState (learned_locomotion.cpp:133-148): everything in the
         torso-ground frame (identity rotation, origin = torso COG with
-        y zeroed, getCoordinateSystem 114-122). With gait enabled, two
-        gait-phase features (sin, cos) are appended — the policy must know
-        where in the cycle the kinematic reference is (DReCon feeds the
-        clip phase to the policy the same way)."""
+        y zeroed, getCoordinateSystem 114-122). With gait enabled, five
+        features are appended: gait phase (sin, cos) — the policy must
+        know where in the cycle the kinematic reference is — and the
+        3-float reference-root tracking error (DReCon feeds the policy
+        reference-relative state the same way)."""
         bp = self.scene.body_params
         torso_cog = (state.pos[self.torso_id]
                      + quat_rotate(state.rot[self.torso_id],
@@ -310,8 +323,14 @@ class LocoEnv:
         if self.gait_enabled:
             phase = (2.0 * jnp.pi * GAIT_FREQUENCY) * jnp.asarray(
                 t, jnp.float32)
+            # reference-root tracking error: where the drifting reference
+            # root is relative to the torso COG (clipped — a far-blown-away
+            # ragdoll shouldn't see unbounded features)
+            drift = self.torso_velocity_target * jnp.asarray(t, jnp.float32)
+            err = jnp.clip(self._init_torso_cog + drift - torso_cog,
+                           -2.0, 2.0)
             obs = jnp.concatenate(
-                [obs, jnp.stack([jnp.sin(phase), jnp.cos(phase)])])
+                [obs, jnp.stack([jnp.sin(phase), jnp.cos(phase)]), err])
         return obs
 
     def _head_height(self, state: State):

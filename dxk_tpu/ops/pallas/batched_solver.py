@@ -626,14 +626,18 @@ def pack_joint_type(name, prep):
     return _pack_joint(prep, vecs, scals, extra_fn(prep))
 
 
-def _write_body_row(vw, n, va, wa):
-    """Write body n's 6 components back into vw (NB, 6L). Masked select on
-    a static row index: .at[n].set emits a scatter, which Mosaic cannot
-    lower even when n is a Python int (docs/PERF_NOTES.md kernel gotchas);
-    the iota-mask select lowers to a vreg blend."""
-    row = jnp.concatenate(list(va) + list(wa), axis=-1)      # (6L,)
-    sel = jax.lax.broadcasted_iota(jnp.int32, vw.shape, 0) == n
-    return jnp.where(sel, row[None, :], vw)
+def _write_body_row(vw, n, new6):
+    """Write body n's 6 components back into vw (NB, 6L) as a one-hot
+    multiplicative select. Rationale (round 4, real-TPU lowering):
+    .at[n].set emits a scatter, which Mosaic cannot lower even when n is a
+    Python int; an iota-mask jnp.where select lowers but trips a libtpu
+    layout CHECK (layout.h offsets_[0] < tiling_[0]) in the terminal
+    compiler. oh is exactly 0/1, so row n becomes exactly new6 (bit-exact,
+    unlike a delta-add) and other rows are exactly preserved."""
+    row = jnp.concatenate([c[None, :] for c in new6], axis=1)   # (1, 6L)
+    oh = (jax.lax.broadcasted_iota(jnp.int32, (vw.shape[0], 1), 0)
+          == n).astype(vw.dtype)                                # (NB, 1)
+    return vw * (1.0 - oh) + oh * row
 
 
 def _solve_joint_type(name, ab, t, vw, invm_t, invI_t, nb, L, inv_deg6,
@@ -660,8 +664,8 @@ def _solve_joint_type(name, ab, t, vw, invm_t, invI_t, nb, L, inv_deg6,
                     va, wa, vb, wb, *[acc[j] for acc in accs])
         nva, nwa, nvb, nwb = out[:4]
         if sequential:
-            vw = _write_body_row(vw, a, nva, nwa)
-            vw = _write_body_row(vw, b, nvb, nwb)
+            vw = _write_body_row(vw, a, tuple(nva) + tuple(nwa))
+            vw = _write_body_row(vw, b, tuple(nvb) + tuple(nwb))
         else:
             _acc(delta, a, _sub(nva, va), _sub(nwa, wa))
             _acc(delta, b, _sub(nvb, vb), _sub(nwb, wb))

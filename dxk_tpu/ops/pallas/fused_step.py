@@ -574,15 +574,20 @@ def _fused_core(metas, joints, nbody, L, num_iterations, omega,
                         va, wa, vb, wb, ik_n, ik_t = _contact_point(
                             cv_p, cs_p, inv_ma[p], inv_mb[p],
                             va, wa, vb, wb, imp_n[k][p], imp_t[k][p])
-                        # masked row write: .at[p].set emits a scatter,
-                        # which Mosaic cannot lower even for a static p
-                        # (docs/PERF_NOTES.md kernel gotchas)
-                        sel = jax.lax.broadcasted_iota(
-                            jnp.int32, imp_n[k].shape, 0) == p
-                        imp_n[k] = jnp.where(sel, ik_n[None, :], imp_n[k])
-                        imp_t[k] = jnp.where(sel, ik_t[None, :], imp_t[k])
-                    vw = _write_body_row(vw, a, va, wa)
-                    vw = _write_body_row(vw, b, vb, wb)
+                        # one-hot multiplicative row write: .at[p].set
+                        # emits a scatter (Mosaic-unlowerable even for
+                        # static p) and an iota-mask select trips a libtpu
+                        # layout CHECK; oh is exactly 0/1 so the update is
+                        # bit-exact (see batched_solver._write_body_row)
+                        ohp = (jax.lax.broadcasted_iota(
+                            jnp.int32, (imp_n[k].shape[0], 1), 0)
+                            == p).astype(imp_n[k].dtype)
+                        imp_n[k] = (imp_n[k] * (1.0 - ohp)
+                                    + ohp * ik_n[None, :])
+                        imp_t[k] = (imp_t[k] * (1.0 - ohp)
+                                    + ohp * ik_t[None, :])
+                    vw = _write_body_row(vw, a, tuple(va) + tuple(wa))
+                    vw = _write_body_row(vw, b, tuple(vb) + tuple(wb))
                 new_con_imps[g] = (imp_n, imp_t)
             return vw, tuple(new_con_imps), joint_imps
 
@@ -1118,7 +1123,13 @@ def _fused_step_batched(scene, metas, joints, bodies, w_pack,
         out_specs=tuple(out_specs),
         scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            # the AOT compiler's default scoped-vmem limit is 16M; the
+            # constraint-zoo scene's kernel needs 20.35M of stack (measured
+            # on v5e, round 4) — raise the LIMIT (not the estimate; see
+            # docs/PERF_NOTES.md scoped-vmem lessons). v5e VMEM is 128M;
+            # 64M leaves room for the block operands.
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(*inputs)
 

@@ -10,7 +10,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from dxk_tpu.core.maths import dot, quat_inv_rotate, squared_length
+from dxk_tpu.core.maths import (cross, dot, normalize, noz, quat_inv_rotate,
+                                squared_length)
 
 _INF = 3.4e38
 
@@ -128,3 +129,95 @@ def ray_hull(o, d, pos, q, verts, vmask, face_normals=None,
     hit = (t_enter <= t_exit) & (t_exit >= 0.0) & ~outside_parallel
     tt = jnp.where(t_enter >= 0.0, t_enter, t_exit)
     return jnp.where(hit, tt, big), hit
+
+
+# -- editor-picking extras (ray::intersectPlane/Disk/Rectangle/Triangle/
+# Torus, bounding_volumes.cpp:197-213, 249-265 and the disk/rect/torus
+# suite) — completes the reference's ray-vs-bounding-volume set.
+
+
+def ray_plane(o, d, normal, point):
+    """ray::intersectPlane (bounding_volumes.cpp:197-213). Note the
+    reference returns t even when negative (behind the origin); `hit` here
+    additionally requires t >= 0 like the rest of this module."""
+    dn = dot(d, normal)
+    safe = jnp.where(jnp.abs(dn) < 1e-6, jnp.where(dn >= 0, 1e-6, -1e-6), dn)
+    t = dot(point - o, normal) / safe
+    hit = (jnp.abs(dn) >= 1e-6) & (t >= 0.0)
+    return jnp.where(hit, t, _INF), hit
+
+
+def ray_disk(o, d, pos, normal, radius):
+    """ray::intersectDisk: plane hit within `radius` of `pos`."""
+    t, hit = ray_plane(o, d, normal, pos)
+    p = o + jnp.where(hit, t, 0.0)[..., None] * d
+    hit = hit & (squared_length(p - pos) <= radius * radius)
+    return jnp.where(hit, t, _INF), hit
+
+
+def ray_rect(o, d, pos, tangent, bitangent, radius2):
+    """ray::intersectRectangle: plane hit with |projection| within the
+    half-extents `radius2` (2,) along tangent/bitangent."""
+    n = cross(tangent, bitangent)
+    t, hit = ray_plane(o, d, n, pos)
+    off = o + jnp.where(hit, t, 0.0)[..., None] * d - pos
+    px = jnp.abs(dot(off, tangent))
+    py = jnp.abs(dot(off, bitangent))
+    hit = hit & (px <= radius2[..., 0]) & (py <= radius2[..., 1])
+    return jnp.where(hit, t, _INF), hit
+
+
+def ray_triangle(o, d, a, b, c):
+    """ray::intersectTriangle (bounding_volumes.cpp:249-265). Returns
+    (t, hit, front_facing)."""
+    n = noz(cross(b - a, c - a))
+    t, hit = ray_plane(o, d, n, a)
+    q = o + jnp.where(hit, t, 0.0)[..., None] * d
+    # barycentric point-in-triangle
+    v0, v1, v2 = c - a, b - a, q - a
+    d00, d01 = dot(v0, v0), dot(v0, v1)
+    d11 = dot(v1, v1)
+    d20, d21 = dot(v2, v0), dot(v2, v1)
+    denom = d00 * d11 - d01 * d01
+    denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+    u = (d11 * d20 - d01 * d21) / denom
+    v = (d00 * d21 - d01 * d20) / denom
+    hit = hit & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+    front = dot(d, n) < 0.0
+    return jnp.where(hit, t, _INF), hit, front
+
+
+def ray_torus(o, d, pos, up_axis, major_radius, tube_radius, steps=96):
+    """ray::intersectTorus. The reference solves the quartic analytically
+    (solve4); on TPU a fixed-iteration sphere trace of the exact torus SDF
+    is branchless and compiler-friendly (editor picking only — never on
+    the physics hot path). Accuracy ~1e-3 of the trace range."""
+    # rotate so the torus axis is +y (rotateFromTo in the reference)
+    axis = normalize(up_axis, 1e-12)
+    yhat = jnp.asarray([0.0, 1.0, 0.0])
+    # quaternion-free frame change: build an orthonormal basis around axis
+    h = axis + yhat
+    hh = squared_length(h)
+    # reflection mapping axis->y (Householder twice); degenerate when
+    # axis == -y, handled by the fallback flip
+    def to_local(v):
+        refl = v - 2.0 * dot(v, h)[..., None] * h / jnp.maximum(hh, 1e-12)
+        flipped = jnp.stack([v[..., 0], -v[..., 1], -v[..., 2]], axis=-1)
+        return jnp.where(hh[..., None] > 1e-6, -refl, flipped)
+
+    ol = to_local(o - pos)
+    dl = to_local(d)
+
+    def sdf(p):
+        qx = jnp.sqrt(p[..., 0] ** 2 + p[..., 2] ** 2) - major_radius
+        return jnp.sqrt(qx * qx + p[..., 1] ** 2) - tube_radius
+
+    t = jnp.zeros(jnp.shape(dot(o, d)))
+    max_t = 2.0 * (jnp.sqrt(squared_length(ol)) + major_radius + tube_radius)
+    for _ in range(steps):
+        p = ol + t[..., None] * dl
+        t = jnp.minimum(t + sdf(p), max_t)
+    hit = sdf(ol + t[..., None] * dl) < 1e-3 * jnp.maximum(
+        major_radius + tube_radius, 1.0)
+    hit = hit & (t >= 0.0) & (t < max_t)
+    return jnp.where(hit, t, _INF), hit

@@ -132,12 +132,13 @@ class TestGaitReference:
 
     def test_amp_zero_is_exactly_standing(self):
         """gait=True with walk target 0 has amplitude 0: identical reward
-        to the standing env at any t, obs gains only the 2 phase floats."""
+        to the standing env at any t; obs gains only the 5 gait floats
+        (sin/cos phase + 3 tracking error)."""
         e0 = LocoEnv(solver_iterations=8, solver_mode="jacobi",
                      enable_pokes=False)
         e1 = LocoEnv(solver_iterations=8, solver_mode="jacobi",
                      enable_pokes=False, gait=True)
-        assert (e0.obs_size, e1.obs_size) == (66, 68)
+        assert (e0.obs_size, e1.obs_size) == (66, 71)
         st0, o0 = e0.reset(jax.random.PRNGKey(0))
         st1, o1 = e1.reset(jax.random.PRNGKey(0))
         np.testing.assert_array_equal(np.asarray(o0), np.asarray(o1[:66]))
@@ -170,17 +171,19 @@ class TestGaitReference:
                       enable_pokes=False,
                       torso_velocity_target=(1.0, 0.0, 0.0))
         st, obs = env.reset(jax.random.PRNGKey(0))
-        assert obs.shape == (68,)
-        # at t=0 the phase features are (sin 0, cos 0) = (0, 1)
-        np.testing.assert_allclose(np.asarray(obs[-2:]), [0.0, 1.0],
+        assert obs.shape == (71,)
+        # at t=0 the phase features are (sin 0, cos 0) = (0, 1) and the
+        # tracking error is 0 (reference root == torso COG at reset)
+        np.testing.assert_allclose(np.asarray(obs[66:68]), [0.0, 1.0],
                                    atol=1e-6)
+        np.testing.assert_allclose(np.asarray(obs[68:]), 0.0, atol=1e-6)
         step = jax.jit(env.step)
         st, obs, r, d = step(st, jnp.zeros((27,)))
         assert bool(jnp.all(jnp.isfinite(obs))) and np.isfinite(float(r))
         # phase advanced by one control step
         from dxk_tpu.envs.loco_env import DT, GAIT_FREQUENCY
         ph = 2 * np.pi * GAIT_FREQUENCY * DT
-        np.testing.assert_allclose(np.asarray(obs[-2:]),
+        np.testing.assert_allclose(np.asarray(obs[66:68]),
                                    [np.sin(ph), np.cos(ph)], atol=1e-5)
 
 

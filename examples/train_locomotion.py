@@ -45,6 +45,13 @@ def main():
     args = ap.parse_args()
 
     import jax
+    # persistent compilation cache: curriculum stages re-jit (one program
+    # per walk target) and resumed runs recompile — cache entries make
+    # both ~free after the first run
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("DXK_TRAIN_CACHE",
+                                     "/tmp/dxk_tpu_xla_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     from dxk_tpu.envs.loco_env import LocoEnv
     from dxk_tpu.train.ppo import PPOConfig, make_train
     from dxk_tpu.utils.checkpoint import BestModelTracker, Checkpointer
@@ -100,6 +107,11 @@ def main():
         if t != cur_target:
             cur_target = t
             _, step = make_step(t)
+            # per-stage best: rewards are NOT comparable across stages (a
+            # harder target scores lower), so reset the tracker — without
+            # this the final stage's policy is never checkpointed and only
+            # the easiest stage's 'best' survives
+            tracker.best = -float("inf")
             print(f"curriculum: walk target -> {t:.2f} m/s")
         ts, metrics = step(ts)
         sync(metrics["loss"])
@@ -114,8 +126,14 @@ def main():
         print(f"iter {i}: reward/step={r:.3f} loss={float(metrics['loss']):.3f} "
               f"done_rate={float(metrics['episode_done_rate']):.3f} "
               f"env-steps/s={sps:,.0f}{tag}")
+    # always persist the final params — the curriculum's last stage is the
+    # actual task; its policy must survive even if its rewards never beat
+    # an earlier stage's (VERDICT r4: a 2000-iter walk run ended with only
+    # the stage-1 stander on disk)
+    ckpt.save(start + args.iters, ts.params)
     log.flush()
-    print(f"log: {args.csv}; best reward/step: {tracker.best:.3f}")
+    print(f"log: {args.csv}; best reward/step: {tracker.best:.3f}; "
+          f"final params saved at step {start + args.iters}")
 
 
 if __name__ == "__main__":

@@ -187,5 +187,27 @@ class TestGaitReference:
                                    [np.sin(ph), np.cos(ph)], atol=1e-5)
 
 
+def test_tracking_termination_gait_only():
+    """Gait-mode early termination (loco_env.TRACK_FAIL_DIST): a torso at
+    its spawn pose is within tolerance of the reference root at t=0 but
+    fails once the reference has glided past TRACK_FAIL_DIST; the standing
+    task (no gait) never terminates on tracking."""
+    from dxk_tpu.envs.loco_env import TRACK_FAIL_DIST
+
+    env = LocoEnv(solver_mode="scan", torso_velocity_target=(1.0, 0.0, 0.0))
+    assert env.gait_enabled
+    st = env.scene.initial_state()
+    assert not bool(env.tracking_failed(st, 0.0))
+    # drift 1.0 m < 1.25 m threshold: still tracking
+    assert not bool(env.tracking_failed(st, TRACK_FAIL_DIST - 0.3))
+    # drift beyond the threshold: terminated
+    assert bool(env.tracking_failed(st, TRACK_FAIL_DIST + 0.3))
+    # standing env: step() must not wire tracking_failed in at all (its
+    # reference never moves; also keeps the standing task's jit graph free
+    # of the extra gather)
+    stand = LocoEnv(solver_mode="scan")
+    assert not stand.gait_enabled
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])

@@ -11,22 +11,31 @@ as an extra field.
 
 Robustness (VERDICT r2/r3 weak #1 — two driver rounds produced no number).
 Round-4 probes finally isolated the r2/r3 killer: the FIRST computation a
-process executes through the axon tunnel blocks 16-500 s (pool-side session
-setup; independent of program size — a 512x512 sin paid 492 s while every
-subsequent fresh compile ran in <2 s). Compiles themselves are seconds, and
-JAX's persistent compilation cache works on this backend. Defenses:
-  - the first-exec toll is paid UP FRONT on a trivial op, logged as its
-    own line item (first_exec_toll_s) so it can't masquerade as a slow
-    config;
+process executes through the axon tunnel blocks 16-585+ s (pool-side chip
+GRANT queue, not compile: independent of program size — a 512x512 sin paid
+492 s while every subsequent fresh compile ran in <2 s; a later probe
+exceeded 585 s outright). Compiles themselves are seconds, and JAX's
+persistent compilation cache works on this backend. Defenses:
+  - a valid JSON line goes on stdout IMMEDIATELY after the claim, and a
+    heartbeat JSON line is re-emitted every 60 s while the grant is
+    pending — a driver kill at ANY moment leaves a parseable last line;
+  - the first-exec toll is paid UP FRONT on a trivial op in a worker
+    thread (main thread heartbeats), logged as its own line item
+    (first_exec_toll_s) so it can't masquerade as a slow config;
   - persistent XLA compilation cache at ./.xla_cache, pre-warmed on-chip
     during the build round (the driver runs in the same container);
   - a cheap loco canary runs FIRST so a real TPU number is on stdout
-    within minutes even cold;
+    within minutes once granted — and if the grant eats the whole
+    nominal deadline, the canary (+ box) still runs in an OVERTIME
+    window (BENCH_OVERTIME_S, default 360 s past the deadline): a late
+    real number beats a punctual zero, and the driver parses the last
+    line whenever it decides to stop us;
   - every config gets its own SIGALRM budget (clamped to the remaining
     global BENCH_DEADLINE_S, default 540s) so one slow compile cannot
     starve the rest; every config is individually try/except'd;
   - a JSON line is re-printed after EVERY config; watchdog threads cover
-    wedged device claims (re-exec on CPU) and a stuck main thread.
+    wedged device claims (re-exec on CPU) and a stuck main thread (hard
+    backstop at deadline + overtime + 60 s).
 
 Run on the real TPU (default env) or CPU (JAX_PLATFORMS=cpu, reduced sizes).
 """
@@ -429,6 +438,10 @@ class _Reporter:
         self.loco_rate = None
         self.t0 = time.time()
         self.deadline = float(os.environ.get("BENCH_DEADLINE_S", "540"))
+        # extra window past the deadline in which the canary (+ box) may
+        # still run if the pool-side chip grant ate the whole deadline —
+        # see module docstring ("OVERTIME")
+        self.overtime = float(os.environ.get("BENCH_OVERTIME_S", "360"))
 
     def remaining(self):
         return self.deadline - (time.time() - self.t0)
@@ -500,9 +513,13 @@ def main():
     cpu_fallback = os.environ.get("BENCH_CPU_FALLBACK") == "1"
 
     def watchdog():
-        if not finished.wait(rep.deadline + 45.0):
+        # Hard backstop only: the nominal deadline is enforced per-config
+        # by SIGALRM budgets, and a pending chip grant is allowed to run
+        # into overtime (a late real number beats a punctual zero). This
+        # thread exists for a main thread stuck in C past ALL of that.
+        if not finished.wait(rep.deadline + rep.overtime + 60.0):
             rep.extras["watchdog_hit"] = True
-            rep.note("watchdog: main thread stuck (blocked claim?) — "
+            rep.note("watchdog: main thread stuck past deadline+overtime — "
                      "dumping partials and hard-exiting")
             rep.emit()
             os._exit(0)
@@ -556,32 +573,61 @@ def main():
     rep.extras.update(platform=jax.devices()[0].platform,
                       device=str(jax.devices()[0]))
     rep.note(f"device up: {rep.extras['device']}")
+    # parseable output from second zero: a driver kill at ANY later point
+    # (even mid-grant) now leaves a valid JSON last line on stdout
+    rep.emit()
 
     # Pay the once-per-process first-execution toll UP FRONT (round-4
     # probes: the FIRST computation a process runs on the axon tunnel
-    # blocks 16-500 s — pool-side session setup, independent of program
-    # size; every later program, even freshly compiled ones, runs in ms).
-    # Paying it here on a trivial op (a) makes every config's budget mean
-    # what it says and (b) gives the driver log an explicit line item
-    # instead of "running loco..." silently eating the deadline.
+    # blocks 16-585+ s — the pool-side chip-grant queue, independent of
+    # program size; every later program, even freshly compiled ones, runs
+    # in ms). Paying it here on a trivial op (a) makes every config's
+    # budget mean what it says and (b) gives the driver log an explicit
+    # line item instead of "running loco..." silently eating the deadline.
+    # The wait happens in a worker thread so the main thread can heartbeat
+    # a JSON line every 60 s; the grant is allowed to run into overtime.
     if on_tpu:
         t0 = time.time()
-        _sync(jax.jit(lambda x: x + 1.0)(jnp.zeros((8,), jnp.float32)))
+        toll_done = threading.Event()
+
+        def pay_toll():
+            _sync(jax.jit(lambda x: x + 1.0)(jnp.zeros((8,), jnp.float32)))
+            toll_done.set()
+
+        threading.Thread(target=pay_toll, daemon=True).start()
+        while not toll_done.wait(60.0):
+            waited = time.time() - t0
+            rep.extras["grant_pending_s"] = round(waited)
+            rep.note(f"chip grant pending {waited:.0f}s (pool queue)...")
+            rep.emit()
+            if waited > rep.deadline + rep.overtime - 120:
+                rep.note("grant never arrived — giving up")
+                rep.emit()
+                finished.set()
+                return
+        rep.extras.pop("grant_pending_s", None)
         rep.extras["first_exec_toll_s"] = round(time.time() - t0, 1)
         rep.note(f"first-exec toll paid: {rep.extras['first_exec_toll_s']}s")
         rep.emit()
 
-    def run_config(name, min_budget_s, fn, budget_s=None):
+    def run_config(name, min_budget_s, fn, budget_s=None, overtime_ok=False):
         """min_budget_s: don't even start unless this much remains (skip
         cheaply). budget_s: per-config SIGALRM deadline (defaults to
         min_budget_s); also clamped to the remaining global budget minus a
-        20 s tail reserve for later emits/teardown."""
-        if rep.remaining() < min_budget_s:
+        20 s tail reserve for later emits/teardown. overtime_ok: this
+        config may still run after the nominal deadline when the chip
+        grant ate it — its budget then draws on the overtime window."""
+        remaining = rep.remaining()
+        if overtime_ok:
+            remaining = max(remaining,
+                            rep.deadline + rep.overtime
+                            - (time.time() - rep.t0))
+        if remaining < min_budget_s:
             rep.extras[name + "_skipped"] = "deadline"
-            rep.note(f"skipping {name}: {rep.remaining():.0f}s left "
+            rep.note(f"skipping {name}: {remaining:.0f}s left "
                      f"< {min_budget_s}s budget")
             return
-        alarm_s = int(min(budget_s or min_budget_s, rep.remaining() - 20))
+        alarm_s = int(min(budget_s or min_budget_s, remaining - 20))
         if alarm_s <= 0:
             rep.extras[name + "_skipped"] = "deadline"
             return
@@ -655,9 +701,10 @@ def main():
     # can't starve the rest.
     canary_envs = min(num_envs, 1024)
     if not args.skip_loco:
-        run_config("loco_canary", 45, lambda: do_loco(canary_envs), 300)
+        run_config("loco_canary", 45, lambda: do_loco(canary_envs), 300,
+                   overtime_ok=True)
     if not args.skip_box:
-        run_config("box", 60, do_box, 210)
+        run_config("box", 60, do_box, 210, overtime_ok=True)
     if not args.skip_loco and num_envs > canary_envs:
         run_config("loco_full", 60, lambda: do_loco(num_envs), 180)
     if not args.skip_aux:

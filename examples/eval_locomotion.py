@@ -9,6 +9,8 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import json
+
 import jax, jax.numpy as jnp, numpy as np
 from dxk_tpu.envs.loco_env import LocoEnv
 from dxk_tpu.models.policy import ActorCritic
@@ -19,6 +21,8 @@ _ap = argparse.ArgumentParser()
 _ap.add_argument("ckpt", nargs="?", default="/tmp/dxk_loco_ckpt")
 _ap.add_argument("--walk-target", type=float, default=0.0)
 _ap.add_argument("--solver-mode", default="fused")
+_ap.add_argument("--json-out", default=None,
+                 help="write the eval stats as JSON (committed as evidence)")
 _args = _ap.parse_args()
 sys.argv = [sys.argv[0], _args.ckpt]
 env = LocoEnv(solver_iterations=30, solver_mode=_args.solver_mode,
@@ -51,6 +55,9 @@ def rollout(st, obs, use_policy):
         body, (st, obs, jnp.ones(N, bool)), None, length=T)
     return rs, alives, vxs
 
+results = {"ckpt_step": ckpt.latest_step, "walk_target": _args.walk_target,
+           "num_episodes": N, "episode_steps": T,
+           "device": str(jax.devices()[0])}
 for name, use in [("trained policy", True), ("zero action", False)]:
     rs, alives, vxs = jax.jit(lambda s, o, u=use: rollout(s, o, u))(st, obs)
     # episode stats up to first fall
@@ -64,3 +71,13 @@ for name, use in [("trained policy", True), ("zero action", False)]:
           f"mean survival={surv.mean():.2f}s / 10s  "
           f"episodes surviving full 10s: {(surv >= 9.99).mean()*100:.0f}%  "
           f"mean forward vx (alive)={vx_alive:.3f} m/s")
+    key = "policy" if use else "zero_action"
+    results[key] = {"mean_reward_per_step": round(float(rs.mean()), 4),
+                    "mean_survival_s": round(float(surv.mean()), 3),
+                    "survival_full_10s_pct": round(
+                        float((surv >= 9.99).mean() * 100), 1),
+                    "mean_forward_vx_alive": round(vx_alive, 4)}
+if _args.json_out:
+    with open(_args.json_out, "w") as f:
+        json.dump(results, f, indent=1)
+    print("wrote", _args.json_out)

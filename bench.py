@@ -27,9 +27,10 @@ persistent compilation cache works on this backend. Defenses:
   - a cheap loco canary runs FIRST so a real TPU number is on stdout
     within minutes once granted — and if the grant eats the whole
     nominal deadline, the canary (+ box) still runs in an OVERTIME
-    window (BENCH_OVERTIME_S, default 360 s past the deadline): a late
-    real number beats a punctual zero, and the driver parses the last
-    line whenever it decides to stop us;
+    window (up to BENCH_OVERTIME_S, default 360 s past the deadline,
+    capped at the measured grant wait — a fast grant earns no
+    overtime): a late real number beats a punctual zero, and the driver
+    parses the last line whenever it decides to stop us;
   - every config gets its own SIGALRM budget (clamped to the remaining
     global BENCH_DEADLINE_S, default 540s) so one slow compile cannot
     starve the rest; every config is individually try/except'd;
@@ -351,8 +352,17 @@ def bench_ragdoll_settle(batch, steps, iters_timed, solver_iterations):
 
 
 def bench_cloth_vehicle_heightfield(batch, steps, iters_timed,
-                                    solver_iterations):
-    """BASELINE config 4: vehicle + cloth sheet on heightfield terrain."""
+                                    solver_iterations, solver_mode="fused"):
+    """BASELINE config 4: vehicle + cloth sheet on heightfield terrain.
+
+    Round-5 fix (VERDICT r4 #1): the unpruned scene carries 2591 candidate
+    pair rows — 2232 of them gear-tooth x gear-tooth capsule pairs between
+    the vehicle's 7 gears — and the fused kernel's register allocator
+    spills 137 M to a 128 M VMEM (the r2-r4 'HTTP 500' compiler crash).
+    finalize(orbit_margin=0.5) prunes rotation-SAFELY (teeth sweep full
+    circles, so candidate_margin would be wrong here): only gear pairs
+    whose swept shells can actually mesh survive, ~2591 -> ~1077 rows,
+    under the kernel's FUSED_MAX_PAIR_ROWS budget."""
     import numpy as _np
     from dxk_tpu.models.vehicle import add_vehicle
     from dxk_tpu.physics import PhysicsSettings
@@ -370,7 +380,7 @@ def bench_cloth_vehicle_heightfield(batch, steps, iters_timed,
     # uncapped tables -> fused-eligible: terrain contacts enter the kernel
     # as a prep-passed pseudo-group since round 3 (falls back to jacobi
     # automatically if eligibility regresses)
-    scene = b.finalize()
+    scene = b.finalize(orbit_margin=0.5)
     c = scene.default_controls
     c = c.replace(
         hinge_motor_type=c.hinge_motor_type.at[veh.motor_hinge].set(0),
@@ -378,16 +388,55 @@ def bench_cloth_vehicle_heightfield(batch, steps, iters_timed,
         hinge_max_torque=c.hinge_max_torque.at[veh.motor_hinge].set(500.0))
     scene = scene.replace(default_controls=c)
     settings = PhysicsSettings(num_rigid_solver_iterations=solver_iterations,
-                               solver_mode="fused")
+                               solver_mode=solver_mode)
     state = _broadcast_state(scene, batch)
     return _time_batched_steps(scene, settings, state, steps, iters_timed, 16)
 
 
-def bench_fidelity_seq(steps=1000):
-    """VERDICT r2 #7 evidence: run a golden scene on-chip with
-    solver_mode='fused_seq' (reference-exact sequential impulses inside
-    the fused kernel) and report steps/s + max deviation from the
-    CPU-recorded golden trajectory (tests/golden)."""
+def rollout_fidelity(scene, mode, steps, every, dt):
+    """Chunked rollout for the fidelity configs: `every` substeps per
+    device dispatch (lax.scan) so 1k steps cost ~40 tunnel round trips,
+    not 1k. Returns (checkpoints (T, S), wall_s). Both solver modes run
+    through the SAME driver so the dual-path comparison is apples to
+    apples."""
+    from dxk_tpu.physics import PhysicsSettings, physics_step
+
+    settings = PhysicsSettings(solver_mode=mode)
+    # batch of 1 (padded to the kernel's 128 lanes) so fused_seq goes
+    # through the Pallas sequential kernel, not the XLA fallback; scan
+    # mode rides the same batching for symmetry
+    state = jax.tree_util.tree_map(lambda x: x[None], scene.initial_state())
+
+    def chunk(s):
+        def body(c, _):
+            c = jax.vmap(
+                lambda st: physics_step(scene, st, settings, dt)[0])(c)
+            return c, None
+        s, _ = jax.lax.scan(body, s, None, length=every)
+        return s
+
+    run = jax.jit(chunk)
+    traj = []
+    t0 = time.time()
+    for _ in range(steps // every):
+        state = run(state)
+        traj.append(np.concatenate([np.asarray(state.pos[0]).ravel(),
+                                    np.asarray(state.rot[0]).ravel()]))
+    return np.stack(traj), time.time() - t0
+
+
+def bench_fidelity_seq(steps=1000, heavy_steps=250, out_json=None):
+    """BASELINE fidelity row, made honest on-chip (VERDICT r4 #2/#3): for
+    EVERY golden scene, run BOTH sequential-impulse paths on the same
+    device — 'scan' (XLA lax.scan over contact rows) and 'fused_seq'
+    (Pallas in-kernel sequential solve) — and report their mutual max
+    deviation over 1k steps (`onchip_scan_vs_seq`). This is the
+    same-hardware dual-path argument the reference itself uses for its
+    scalar-vs-SIMD toggles (physics.h:394-396); the CPU-golden deviation
+    (`max_dev`) is also kept, but it conflates backend fp differences
+    with kernel arithmetic and is documented as an envelope, not a gate
+    (docs/FIDELITY.md). Heavy scenes (joints/hulls in-kernel) run
+    heavy_steps to bound the budget."""
     import importlib.util
 
     here = os.path.dirname(os.path.abspath(__file__))
@@ -397,36 +446,38 @@ def bench_fidelity_seq(steps=1000):
     m = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(m)
 
-    from dxk_tpu.physics import PhysicsSettings, physics_step
-
-    settings = PhysicsSettings(solver_mode="fused_seq")
-    devs = {}
-    rate = 0.0
-    for name, b in list(m.scenes())[:3]:    # sphere, box stack, pendulum
+    heavy = {"ragdoll_settle", "constraint_zoo", "mixed_shape_drop"}
+    devs, dual, curves = {}, {}, {}
+    total_steps, total_wall = 0, 0.0
+    for name, b in m.scenes():
         scene = b.finalize()
+        n_steps = heavy_steps if name in heavy else steps
+        trajs = {}
+        for mode in ("fused_seq", "scan"):
+            trajs[mode], wall = rollout_fidelity(
+                scene, mode, n_steps, m.GOLDEN_EVERY, m.DT)
+            if mode == "fused_seq":
+                total_steps += n_steps
+                total_wall += wall
+        per_ckpt = np.abs(trajs["fused_seq"] - trajs["scan"]).max(axis=1)
+        dual[name] = float(per_ckpt.max())
+        curves[name] = [round(float(v), 8) for v in per_ckpt]
         path = os.path.join(here, "tests", "golden", f"{name}.npy")
-        if not os.path.exists(path):
-            continue
-        golden = np.load(path)
-        # batch of 1 (padded to the kernel's 128 lanes) so the run goes
-        # through the Pallas sequential kernel, not the XLA fallback
-        state = jax.tree_util.tree_map(
-            lambda x: x[None], scene.initial_state())
-        step = jax.jit(jax.vmap(
-            lambda s: physics_step(scene, s, settings, m.DT)[0]))
-        traj = []
-        t0 = time.time()
-        for i in range(steps):
-            state = step(state)
-            if i % m.GOLDEN_EVERY == m.GOLDEN_EVERY - 1:
-                traj.append(np.concatenate(
-                    [np.asarray(state.pos[0]).ravel(),
-                     np.asarray(state.rot[0]).ravel()]))
-        dt_wall = time.time() - t0
-        traj = np.stack(traj)
-        devs[name] = float(np.abs(traj - golden[:len(traj)]).max())
-        rate = steps / dt_wall
-    return rate, devs
+        if os.path.exists(path):
+            golden = np.load(path)
+            k = len(trajs["fused_seq"])
+            devs[name] = float(
+                np.abs(trajs["fused_seq"] - golden[:k]).max())
+        if out_json:
+            with open(out_json, "w") as f:
+                json.dump({"dt": m.DT, "every": m.GOLDEN_EVERY,
+                           "device": str(jax.devices()[0]),
+                           "onchip_scan_vs_seq": dual,
+                           "seq_vs_cpu_golden": devs,
+                           "per_checkpoint_scan_vs_seq": curves}, f,
+                          indent=1)
+    rate = total_steps / max(total_wall, 1e-9)
+    return rate, devs, dual
 
 
 class _Reporter:
@@ -589,10 +640,18 @@ def main():
     if on_tpu:
         t0 = time.time()
         toll_done = threading.Event()
+        toll_err = []
 
         def pay_toll():
-            _sync(jax.jit(lambda x: x + 1.0)(jnp.zeros((8,), jnp.float32)))
-            toll_done.set()
+            # ADVICE r4 (medium): an exception here (tunnel reset, device
+            # error) must still set toll_done, or the main thread heartbeats
+            # for the whole deadline+overtime on an instantaneous failure.
+            try:
+                _sync(jax.jit(lambda x: x + 1.0)(jnp.zeros((8,), jnp.float32)))
+            except BaseException as e:  # noqa: BLE001 — recorded, main decides
+                toll_err.append(f"{type(e).__name__}: {e}"[:200])
+            finally:
+                toll_done.set()
 
         threading.Thread(target=pay_toll, daemon=True).start()
         while not toll_done.wait(60.0):
@@ -607,6 +666,23 @@ def main():
                 return
         rep.extras.pop("grant_pending_s", None)
         rep.extras["first_exec_toll_s"] = round(time.time() - t0, 1)
+        if toll_err:
+            # Device is unusable: record why and fall back to CPU so the
+            # driver still gets an honest (cpu-marked) number instead of
+            # five more config failures against a dead tunnel.
+            rep.extras["first_exec_toll_error"] = toll_err[0]
+            rep.note(f"first-exec toll FAILED: {toll_err[0]} — re-exec on CPU")
+            rep.emit()
+            env = dict(os.environ)
+            env["JAX_PLATFORMS"] = "cpu"
+            env["PALLAS_AXON_POOL_IPS"] = ""
+            env["BENCH_CPU_FALLBACK"] = "1"
+            env["BENCH_DEADLINE_S"] = str(
+                int(max(120.0, rep.remaining() - 60)))
+            env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                                + " --xla_disable_hlo_passes=fusion")
+            os.execvpe(sys.executable,
+                       [sys.executable, os.path.abspath(__file__)], env)
         rep.note(f"first-exec toll paid: {rep.extras['first_exec_toll_s']}s")
         rep.emit()
 
@@ -616,12 +692,15 @@ def main():
         min_budget_s); also clamped to the remaining global budget minus a
         20 s tail reserve for later emits/teardown. overtime_ok: this
         config may still run after the nominal deadline when the chip
-        grant ate it — its budget then draws on the overtime window."""
+        grant ate it — the overtime drawn is capped at the measured grant
+        wait (ADVICE r4: a fast grant must not let a slow canary compile
+        eat time meant for loco_full/aux)."""
         remaining = rep.remaining()
         if overtime_ok:
+            grant_wait = float(rep.extras.get("first_exec_toll_s", 0.0))
+            earned = min(rep.overtime, grant_wait)
             remaining = max(remaining,
-                            rep.deadline + rep.overtime
-                            - (time.time() - rep.t0))
+                            rep.deadline + earned - (time.time() - rep.t0))
         if remaining < min_budget_s:
             rep.extras[name + "_skipped"] = "deadline"
             rep.note(f"skipping {name}: {remaining:.0f}s left "
@@ -681,16 +760,38 @@ def main():
                           ragdoll_settle_compile_s=round(c, 1))
 
     def do_cloth_vehicle():
-        r, c = bench_cloth_vehicle_heightfield(
-            aux_batch, args.steps, args.iters, args.solver_iterations)
-        rep.extras.update(cloth_vehicle_hf_body_steps_per_s=round(r),
-                          cloth_vehicle_hf_compile_s=round(c, 1))
+        # fallback chain (VERDICT r4 #1b): if the fused kernel dies in the
+        # compiler, retry on the XLA jacobi path so SOME on-chip number
+        # lands for BASELINE config 4 while the kernel is debugged
+        last = None
+        for mode in ("fused", "jacobi"):
+            try:
+                r, c = bench_cloth_vehicle_heightfield(
+                    aux_batch, args.steps, args.iters,
+                    args.solver_iterations, solver_mode=mode)
+                rep.extras.update(cloth_vehicle_hf_body_steps_per_s=round(r),
+                                  cloth_vehicle_hf_compile_s=round(c, 1),
+                                  cloth_vehicle_hf_solver_mode=mode)
+                return
+            except _ConfigTimeout:
+                raise
+            except Exception as e:  # noqa: BLE001 — try the next mode
+                last = e
+                rep.extras["cloth_vehicle_hf_%s_error" % mode] = \
+                    f"{type(e).__name__}: {e}"[:200]
+                rep.note(f"cloth_vehicle_hf[{mode}] failed: {e} — "
+                         "trying next mode")
+        raise last
 
     def do_fidelity_seq():
-        r, devs = bench_fidelity_seq(steps=1000 if on_tpu else 50)
+        r, devs, dual = bench_fidelity_seq(
+            steps=1000 if on_tpu else 50,
+            heavy_steps=250 if on_tpu else 25)
         rep.extras.update(
             fidelity_seq_steps_per_s=round(r),
-            fidelity_seq_max_dev={k: round(v, 6) for k, v in devs.items()})
+            fidelity_seq_max_dev={k: round(v, 6) for k, v in devs.items()},
+            fidelity_onchip_scan_vs_seq={k: round(v, 8)
+                                         for k, v in dual.items()})
 
     # Ordering (VERDICT r3 weak #1b): a small loco canary FIRST puts a real
     # TPU headline number on stdout within minutes even on a cold cache
@@ -710,8 +811,8 @@ def main():
     if not args.skip_aux:
         run_config("ragdoll_settle", 45, do_settle, 120)
         run_config("zoo", 45, do_zoo, 120)
-        run_config("cloth_vehicle_hf", 45, do_cloth_vehicle, 120)
-        run_config("fidelity_seq", 45, do_fidelity_seq, 150)
+        run_config("cloth_vehicle_hf", 45, do_cloth_vehicle, 150)
+        run_config("fidelity_seq", 45, do_fidelity_seq, 240)
 
     finished.set()
     rep.emit()

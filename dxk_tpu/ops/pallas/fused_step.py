@@ -28,6 +28,8 @@ the solve functions are shared with it.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -60,17 +62,42 @@ CM_RECIPES = {(0, 0), (0, 1), (0, 2), (0, 3), (0, 4),
 HULL_RECIPES = {(0, 4), (1, 4), (2, 4), (3, 4), (4, 4)}
 
 
+# Mosaic's register allocator spills the unrolled narrowphase+prep live
+# ranges to VMEM at ~53 KB per candidate pair row (measured on v5e:
+# unpruned zoo, 4560 rows -> 242 M demand; unpruned cloth+vehicle, 2591
+# rows -> 137 M — both past the 128 M VMEM and killed in tpu_compile_helper
+# as "HTTP 500" compiler crashes, rounds 3/4). Refuse to emit a fused
+# kernel past a budgeted row count and degrade to the XLA solver path
+# instead: a slower number beats a dead compiler. ~1800 rows ~ 95 M
+# leaves headroom for the joint-prep tables and solver buffers.
+FUSED_MAX_PAIR_ROWS = int(os.environ.get("DXK_FUSED_MAX_PAIRS", "1800"))
+
+
 def fused2_eligible(scene) -> bool:
-    """Fused-pipeline eligibility: static (uncapped) pair tables and no
-    dynamic kselect broadphase. Groups without a cm recipe and heightfield
-    terrain contacts are fine — they ride the prep-passed path."""
+    """Fused-pipeline eligibility: static (uncapped) pair tables, no
+    dynamic kselect broadphase, and a total candidate-row count under the
+    VMEM spill budget (FUSED_MAX_PAIR_ROWS). Groups without a cm recipe
+    and heightfield terrain contacts are fine — they ride the prep-passed
+    path."""
     if scene.broadphase_k > 0:
         return False
     if not scene.pair_groups:
         return False
+    rows = 0
     for g in scene.pair_groups:
         if g.max_narrow != g.pairs.shape[0]:
             return False
+        rows += int(g.pairs.shape[0])
+    if rows > FUSED_MAX_PAIR_ROWS:
+        import warnings
+        warnings.warn(
+            f"fused pipeline refused: {rows} candidate pair rows > "
+            f"{FUSED_MAX_PAIR_ROWS} (est. ~{rows * 53 / 1024:.0f} M VMEM "
+            "spill vs 128 M capacity) — degrading to the XLA solver path. "
+            "Prune the tables (finalize(candidate_margin=...) or "
+            "orbit_margin=... for scenes with spinning parts) to stay "
+            "fused.", stacklevel=3)
+        return False
     return True
 
 

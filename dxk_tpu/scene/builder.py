@@ -559,6 +559,7 @@ class SceneBuilder:
                  dtype=np.float32, contact_phases: int = 1,
                  broadphase: str = "table", broadphase_k: int = 8,
                  candidate_margin: Optional[float] = None,
+                 orbit_margin: Optional[float] = None,
                  sap_window: int = 4,
                  sap_broad_extent: float = 15.0) -> Scene:
         """contact_phases=K > 1 splits every candidate bucket into K phase
@@ -588,7 +589,23 @@ class SceneBuilder:
         contact over the run (valid when bodies stay near their initial
         relative configuration, e.g. stacks, articulated figures). Pruned
         tables keep scenes with many colliders fused-pipeline-eligible and
-        enable island decomposition (dxk_tpu.scene.islands)."""
+        enable island decomposition (dxk_tpu.scene.islands).
+
+        orbit_margin=M is the ROTATION-SAFE variant of candidate_margin
+        for articulated machines with spinning parts (gear trains: the
+        vehicle's tooth capsules sweep full circles, so initial-center
+        pruning would drop tooth pairs that mesh half a revolution later).
+        Each collider is bounded by the spherical shell it sweeps when its
+        body rotates arbitrarily about its own center of mass:
+        radii [max(0, d-b), d+b] around the body COM, where d = collider
+        center's distance from the COM and b = its bounding radius
+        (statics, which never rotate, use their plain bounding sphere).
+        A pair is kept iff the shells come within M of each other at the
+        initial BODY-COM separation. The scene's promise is therefore
+        weaker than candidate_margin's: bodies may spin freely; only the
+        COM-to-COM distances must stay within M of their initial values
+        (true for joint-held mechanisms like the vehicle: suspension
+        travel bounds the COM drift, so pass M >= that travel)."""
         nb = len(self._bodies)
         n1 = nb + 1  # + dummy
 
@@ -685,6 +702,31 @@ class SceneBuilder:
                 keep = d <= (brads[p[:, 0]] + brads[p[:, 1]]
                              + candidate_margin)
                 coll_buckets[key] = [tuple(q) for q in p[keep]]
+
+        if orbit_margin is not None:
+            centers, brads = sphs or self._collider_bounding_spheres(
+                col, init_pos, init_rot, nb)
+            # world COM per body at t0; a collider's swept shell is centered
+            # on its body's COM (statics never rotate: pin to the collider
+            # center, shell degenerates to the plain bounding sphere)
+            com_w = init_pos + np.stack(
+                [_np_quat_rotate(init_rot[i], local_cog[i])
+                 for i in range(n1)])
+            cbody = col["body"]
+            ref = np.where((cbody < nb)[:, None], com_w[cbody], centers)
+            d0 = np.linalg.norm(centers - ref, axis=-1)
+            outer = d0 + brads
+            inner = np.maximum(0.0, d0 - brads)
+            for key, pairs in list(coll_buckets.items()):
+                p = np.asarray(pairs, np.int32).reshape(-1, 2)
+                if len(p) == 0:
+                    continue
+                ia, ib = p[:, 0], p[:, 1]
+                D = np.linalg.norm(ref[ia] - ref[ib], axis=-1)
+                gap = np.maximum.reduce([D - outer[ia] - outer[ib],
+                                         inner[ia] - D - outer[ib],
+                                         inner[ib] - D - outer[ia]])
+                coll_buckets[key] = [tuple(q) for q in p[gap <= orbit_margin]]
 
         cap = max_narrow_pairs_per_group or self.max_narrow_pairs_per_group
         groups = []

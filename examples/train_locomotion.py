@@ -42,6 +42,12 @@ def main():
     ap.add_argument("--ckpt-dir", default="/tmp/dxk_loco_ckpt")
     ap.add_argument("--csv", default="/tmp/dxk_loco_train.csv")
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--mesh", action="store_true",
+                    help="shard the env axis over ALL visible devices "
+                         "(jax.sharding Mesh; params replicate, grads "
+                         "psum over ICI) — the zero-code-change multi-chip "
+                         "path (SURVEY §2.7/§5.8). num-envs must divide "
+                         "by the device count.")
     args = ap.parse_args()
 
     import jax
@@ -64,6 +70,13 @@ def main():
                        learning_rate=args.lr,
                        num_minibatches=max(4, num_envs // 64))
 
+    mesh = None
+    if args.mesh:
+        from dxk_tpu.parallel.mesh import make_env_mesh
+        mesh = make_env_mesh()
+        assert num_envs % mesh.size == 0, (num_envs, mesh.size)
+        print(f"mesh: sharding {num_envs} envs over {mesh.size} devices")
+
     def make_step(target):
         # gait is pinned to the RUN's walk-target (not the stage's) so the
         # obs size (66 vs 68 with phase features) is stable across
@@ -73,6 +86,10 @@ def main():
                       narrow_caps={(1, 1): 24, (1, 3): 20, (3, 3): 3},
                       torso_velocity_target=(target, 0.0, 0.0),
                       gait=(args.walk_target != 0.0))
+        if mesh is not None:
+            from dxk_tpu.parallel.mesh import make_sharded_train_step
+            init_fn, train_step = make_sharded_train_step(env, config, mesh)
+            return init_fn, train_step      # jit'd inside
         init_fn, train_step = make_train(env, config)
         return init_fn, jax.jit(train_step)
 
@@ -92,7 +109,9 @@ def main():
     tracker = BestModelTracker(ckpt)
     log = StatsLogger(args.csv)
 
-    ts = jax.jit(init_fn)(jax.random.PRNGKey(0))
+    # sharded init device_puts its own placements — don't wrap it in jit
+    ts = (init_fn if mesh is not None
+          else jax.jit(init_fn))(jax.random.PRNGKey(0))
     start = 0
     if args.resume and ckpt.latest_step is not None:
         restored = ckpt.restore(template=ts.params)

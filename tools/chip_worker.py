@@ -52,10 +52,25 @@ def main():
     float(jnp.sum(jax.jit(lambda x: x + 1.0)(jnp.zeros(8, jnp.float32))))
     log(f"grant obtained in {time.time() - t1:.1f}s — ready for jobs")
 
-    done = set()
+    # ADVICE r4: seed from existing .done markers so a worker restart does
+    # not re-run previously completed (side-effectful) jobs.
+    done = {f[:-len(".done")] for f in os.listdir(jobdir)
+            if f.endswith(".done")}
+    if done:
+        log(f"skipping {len(done)} already-done job(s)")
+
+    def settled(f):
+        # skip files still being written (non-atomic submission): require
+        # the mtime to be >=2 s old. Atomic submitters (.tmp + os.rename)
+        # are picked up immediately on the next poll regardless.
+        try:
+            return time.time() - os.path.getmtime(os.path.join(jobdir, f)) >= 2.0
+        except OSError:
+            return False
+
     while True:
         jobs = sorted(f for f in os.listdir(jobdir)
-                      if f.endswith(".py") and f not in done)
+                      if f.endswith(".py") and f not in done and settled(f))
         stop = os.path.exists(os.path.join(jobdir, "STOP"))
         if not jobs:
             if stop:

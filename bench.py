@@ -748,10 +748,14 @@ def main():
     aux_batch = 64 if on_tpu else 2
 
     def do_zoo():
-        r, c = bench_constraint_zoo(aux_batch, args.steps, args.iters,
+        # batch 256 fills the fused kernel's 128 lanes (2 chunks); at the
+        # old batch 64 half the vector lanes idled and zoo read 8.9M —
+        # 256 measures 22.2M on v5e (round-5 job 03 attribution sweep)
+        zoo_batch = 256 if on_tpu else 2
+        r, c = bench_constraint_zoo(zoo_batch, args.steps, args.iters,
                                     args.solver_iterations)
         rep.extras.update(zoo_body_steps_per_s=round(r),
-                          zoo_compile_s=round(c, 1))
+                          zoo_compile_s=round(c, 1), zoo_batch=zoo_batch)
 
     def do_settle():
         r, c = bench_ragdoll_settle(4 * aux_batch, args.steps, args.iters,

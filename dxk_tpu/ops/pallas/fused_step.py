@@ -63,14 +63,15 @@ HULL_RECIPES = {(0, 4), (1, 4), (2, 4), (3, 4), (4, 4)}
 
 
 # Mosaic's register allocator spills the unrolled narrowphase+prep live
-# ranges to VMEM at ~53 KB per candidate pair row (measured on v5e:
+# ranges to VMEM at ~53-60 KB per candidate pair row (measured on v5e:
 # unpruned zoo, 4560 rows -> 242 M demand; unpruned cloth+vehicle, 2591
-# rows -> 137 M — both past the 128 M VMEM and killed in tpu_compile_helper
-# as "HTTP 500" compiler crashes, rounds 3/4). Refuse to emit a fused
-# kernel past a budgeted row count and degrade to the XLA solver path
-# instead: a slower number beats a dead compiler. ~1800 rows ~ 95 M
-# leaves headroom for the joint-prep tables and solver buffers.
-FUSED_MAX_PAIR_ROWS = int(os.environ.get("DXK_FUSED_MAX_PAIRS", "1800"))
+# rows -> 137 M; orbit-pruned cloth+vehicle, 1079 rows -> 64.94 M of
+# scoped stack — all crashes in tpu_compile_helper as "HTTP 500" until
+# the scoped limit below covered them, rounds 2-5). Refuse to emit a
+# fused kernel past a budgeted row count and degrade to the XLA solver
+# path instead: a slower number beats a dead compiler. ~1600 rows x
+# 60 KB ~ 96 M against the 100 M scoped limit set in pallas_call below.
+FUSED_MAX_PAIR_ROWS = int(os.environ.get("DXK_FUSED_MAX_PAIRS", "1600"))
 
 
 def fused2_eligible(scene) -> bool:
@@ -1153,10 +1154,12 @@ def _fused_step_batched(scene, metas, joints, bodies, w_pack,
             dimension_semantics=("arbitrary",),
             # the AOT compiler's default scoped-vmem limit is 16M; the
             # constraint-zoo scene's kernel needs 20.35M of stack (measured
-            # on v5e, round 4) — raise the LIMIT (not the estimate; see
-            # docs/PERF_NOTES.md scoped-vmem lessons). v5e VMEM is 128M;
-            # 64M leaves room for the block operands.
-            vmem_limit_bytes=64 * 1024 * 1024),
+            # on v5e, round 4) and the orbit-pruned cloth+vehicle scene
+            # 64.94M (measured round 5 — 959K past the old 64M limit, the
+            # r2-r4 'HTTP 500' crash) — raise the LIMIT (not the estimate;
+            # see docs/PERF_NOTES.md scoped-vmem lessons). v5e VMEM is
+            # 128M; 100M still leaves room for the block operands.
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*inputs)
 

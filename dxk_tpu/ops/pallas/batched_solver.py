@@ -464,13 +464,18 @@ def _round128(x):
 
 def _mxu_t(x):
     """Transpose (CB, X) -> (X, CB) on the MXU: contract the CB axis
-    against a CB x CB identity. Exact for f32 (products with an exact-1.0
-    operand), free of the lane-alignment constraints tpu.transpose and DMA
-    slicing impose."""
+    against a CB x CB identity, free of the lane-alignment constraints
+    tpu.transpose and DMA slicing impose. Precision must be HIGHEST: at
+    the TPU's DEFAULT f32 matmul precision the MXU truncates inputs to
+    bf16 (measured 2.5e-3 relative, round-5 job 06), so an identity
+    product is NOT a transpose — it bf16-rounds every value it moves.
+    That truncation on the kernel's velocity boundary was the round-4
+    free-flight fidelity drift."""
     ident = jnp.eye(x.shape[0], dtype=jnp.float32)
     return jax.lax.dot_general(
         x, ident, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
 
 
 def _hinge_field_rows(t, j):

@@ -209,11 +209,12 @@ def _group_static(scene):
 # the shared core (pure jnp, comp-major, lanes minor)
 
 
-def _gather_params(onehot, cols_tab, L):
+def _gather_params(onehot, cols_tab, L, prec=None):
     """(Pg, C) @ (C, 11L) -> per-param (Pg, L) views."""
     g = jax.lax.dot_general(onehot, cols_tab,
                             dimension_numbers=(((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=prec)
     return [g[:, i * L:(i + 1) * L] for i in range(COL_PARAMS)]
 
 
@@ -345,7 +346,7 @@ def _topo_lists(tab, dims, row):
 
 
 def _prep_points(pts, dps, normal, masks, meta, gat, pos_tab, invI_tab,
-                 invm_tab, vw, nbody, L, inv_dt, fric_c, rest_c):
+                 invm_tab, vw, nbody, L, inv_dt, fric_c, rest_c, prec=None):
     """Port of solver.prep_contacts to comp-major rows. fric_c/rest_c:
     (Pg, 1) static per-pair material constants. Returns the per-point field
     tuples the shared contact solve consumes + the pair inv masses."""
@@ -355,7 +356,7 @@ def _prep_points(pts, dps, normal, masks, meta, gat, pos_tab, invI_tab,
     def gmm(tab):
         return jax.lax.dot_general(
             gat, tab, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32, precision=prec)
 
     pos = gmm(pos_tab)               # (2Pg, 3L)
     vwp = gmm(vw)                    # (2Pg, 6L)
@@ -459,6 +460,22 @@ def _fused_core(metas, joints, nbody, L, num_iterations, omega,
     Returns (vw (NB, 6L), imp_n per group list[K of (Pg, L)],
     live per group (Pg, L) bool)."""
 
+    # Matmul precision split (round 5): the TPU's DEFAULT f32 matmul
+    # truncates inputs to bf16 (~2.5e-3 relative; see _mxu_t). The
+    # fidelity mode (sequential=True, solver_mode 'fused_seq') pays the
+    # 6-pass HIGHEST cost on its once-per-step value gathers so the
+    # in-kernel pipeline is arithmetic-faithful to the XLA 'scan' path;
+    # the production mode (averaged/phased solve) pins DEFAULT explicitly
+    # — the enclosing physics_step traces under
+    # default_matmul_precision('float32') and inheriting it cost 24% of
+    # loco throughput and +70% zoo compile time (round-5 job 08). The
+    # kernel-boundary _mxu_t transposes stay HIGHEST unconditionally,
+    # which alone makes zero-contact (free-flight) steps bit-exact in
+    # BOTH modes: masked contact rows contribute exact-zero deltas even
+    # at bf16.
+    prec = (jax.lax.Precision.HIGHEST if sequential
+            else jax.lax.Precision.DEFAULT)
+
     # body tables in matmul form: (NB, xL), comp-major lanes
     invI_tab = jnp.concatenate(
         [invI_t[i * nbody:(i + 1) * nbody] for i in range(9)], axis=1)
@@ -505,8 +522,8 @@ def _fused_core(metas, joints, nbody, L, num_iterations, omega,
     for key, gl in sorted(buckets.items()):
         ga = jnp.concatenate([group_onehots[g][0] for g in gl], axis=0)
         gb = jnp.concatenate([group_onehots[g][1] for g in gl], axis=0)
-        pa = _gather_params(ga, cols_tab, L)
-        pb = _gather_params(gb, cols_tab, L)
+        pa = _gather_params(ga, cols_tab, L, prec)
+        pb = _gather_params(gb, cols_tab, L, prec)
         hulls = None
         if key in HULL_RECIPES:
             n_tabs = len(group_hull[gl[0]])
@@ -532,7 +549,7 @@ def _fused_core(metas, joints, nbody, L, num_iterations, omega,
             fr, re = group_fricrest[g]
             fields, inv_ma, inv_mb, _ = _prep_points(
                 pts, dps, normal, masks, meta, gat, pos_tab, invI_tab,
-                invm_tab, vw0, nbody, L, inv_dt, fr, re)
+                invm_tab, vw0, nbody, L, inv_dt, fr, re, prec)
             live = masks[0]
             for m in masks[1:]:
                 live = live | m
@@ -551,9 +568,11 @@ def _fused_core(metas, joints, nbody, L, num_iterations, omega,
             _gat, sca = group_incidence[g]
             lv = group_live[g].astype(jnp.float32)
             both = jnp.concatenate([lv, lv], axis=0)      # (2Pg, L)
+            # 0/1 x 0/1 product: exact at any precision — pin DEFAULT
             deg = deg + jax.lax.dot_general(
                 sca, both, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
         inv_deg_con.append(jnp.concatenate(
             [1.0 / jnp.maximum(deg, 1.0)] * 6, axis=1))   # (NB, 6L)
     inv_deg_joint = [jnp.concatenate([idg] * 6, axis=1)
@@ -629,7 +648,8 @@ def _fused_core(metas, joints, nbody, L, num_iterations, omega,
             fields, inv_ma, inv_mb = group_fields[g]
             u = jax.lax.dot_general(
                 gat, vw, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)          # (2Pg, 6L)
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)         # (2Pg, 6L)
 
             def comp(x, c):
                 return x[:, c * L:(c + 1) * L]
@@ -656,7 +676,8 @@ def _fused_core(metas, joints, nbody, L, num_iterations, omega,
                  jnp.concatenate(db, axis=1)], axis=0)       # (2Pg, 6L)
             all_deltas = all_deltas + jax.lax.dot_general(
                 sca, d, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
           vw = vw + all_deltas * (omega * inv_deg_con[pi])
         return vw, tuple(new_con_imps), joint_imps
 

@@ -164,7 +164,22 @@ def _contacts_for_group(scene, w, group, pairs, mask):
 def physics_step(scene: Scene, state: State, settings: PhysicsSettings,
                  dt: float) -> Tuple[State, StepInfo]:
     """One fixed substep. For the reference's fixed-timestep frame loop with
-    interpolation, see `FixedTimestepDriver` in dxk_tpu/utils/timestep.py."""
+    interpolation, see `FixedTimestepDriver` in dxk_tpu/utils/timestep.py.
+
+    Traced under matmul precision "float32": the engine leans on the MXU
+    for gathers/scatters/layout transposes of *state values* (one-hot
+    matmuls, MXU-identity transposes), and the TPU's DEFAULT f32 matmul
+    truncates inputs to bf16 (~2.5e-3 relative — measured round 5, job
+    06). That truncation injected a per-step velocity perturbation that
+    drifted free-flying bodies ~1e-2 over 50 steps. HIGHEST-precision
+    matmul is bit-exact for these 0/1- and identity-operand products and
+    the physics kernels are VPU-bound, so exactness here is ~free; RL
+    network matmuls outside physics_step keep the fast default."""
+    with jax.default_matmul_precision("float32"):
+        return _physics_step_p(scene, state, settings, dt)
+
+
+def _physics_step_p(scene, state, settings, dt):
     dt = jnp.float32(dt)
     controls = state.controls if state.controls is not None \
         else scene.default_controls

@@ -14,6 +14,23 @@ from dxk_tpu.scene.scene import Scene, State
 GRAVITY = -9.81  # physics.h:11
 
 
+def _mat3_mul(A, B):
+    """Batched (..., 3, 3) @ (..., 3, 3) as broadcast-multiply-sum.
+
+    Deliberately NOT jnp.matmul/einsum: tiny batched matmuls ride the MXU,
+    where DEFAULT f32 precision bf16-truncates the inertia tensors and
+    HIGHEST costs 6 passes (the round-5 box bench lost ~20% to exactly
+    this under physics_step's float32 matmul context). Elementwise
+    component math is exact f32 on the VPU and cheaper than either."""
+    return jnp.sum(A[..., :, :, None] * B[..., None, :, :], axis=-2)
+
+
+def _mat3_vec(M, v):
+    """Batched (..., 3, 3) @ (..., 3) via broadcast-multiply-sum (see
+    _mat3_mul for why this avoids the MXU)."""
+    return jnp.sum(M * v[..., None, :], axis=-1)
+
+
 @struct.dataclass
 class SolverBodies:
     """The reference's rigid_body_global_state (rigid_body.h:6-16), SoA over
@@ -39,7 +56,7 @@ def integrate_forces(scene: Scene, state: State, dt) -> SolverBodies:
     pos_cog = state.pos + quat_rotate(rot, bp.local_cog)
 
     R = quat_to_mat3(rot)
-    inv_inertia_w = R @ bp.inv_inertia @ mat3_T(R)
+    inv_inertia_w = _mat3_mul(_mat3_mul(R, bp.inv_inertia), mat3_T(R))
 
     force = state.force_acc + scene.global_ff_force
     # gravity: F.y += g / invMass * gravityFactor for dynamic bodies
@@ -49,7 +66,7 @@ def integrate_forces(scene: Scene, state: State, dt) -> SolverBodies:
     force = force.at[:, 1].add(g_force)
 
     lin_acc = force * bp.inv_mass[:, None]
-    ang_acc = jnp.einsum("nij,nj->ni", inv_inertia_w, state.torque_acc)
+    ang_acc = _mat3_vec(inv_inertia_w, state.torque_acc)
 
     v = state.lin_vel + lin_acc * dt
     w = state.ang_vel + ang_acc * dt

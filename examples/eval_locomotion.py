@@ -73,6 +73,14 @@ for name, use in [("trained policy", True), ("zero action", False)]:
     # mean forward velocity over alive timesteps (the walking metric:
     # learned_locomotion.cpp:345's vcm target tracks torso velocity)
     vx_alive = float((v * a).sum() / np.maximum(a.sum(), 1))
+    # steady-state velocity: episodes start at a STANDSTILL, so the whole-
+    # episode mean folds the physical acceleration ramp into the tracking
+    # number (a policy holding exactly 1.0 m/s after a 1.5 s ramp averages
+    # ~0.9 over 10 s). Report the post-ramp mean (t >= 2 s) separately —
+    # that is the "tracks the commanded speed" metric.
+    ramp = min(120, T)                      # 2 s @ 60 Hz
+    a_ss, v_ss = a[ramp:], v[ramp:]
+    vx_steady = float((v_ss * a_ss).sum() / np.maximum(a_ss.sum(), 1))
     # episode return = reward accumulated while alive (VERDICT r4 weak #6:
     # per-step reward alone can rank a policy below zero-action when
     # zero-action dies early while collecting easy upright reward)
@@ -82,14 +90,16 @@ for name, use in [("trained policy", True), ("zero action", False)]:
           f"mean survival={surv.mean():.2f}s / {horizon_s:.0f}s  "
           f"episodes surviving full horizon: "
           f"{(surv >= full_eps).mean()*100:.0f}%  "
-          f"mean forward vx (alive)={vx_alive:.3f} m/s")
+          f"mean forward vx (alive)={vx_alive:.3f} m/s, "
+          f"steady-state (t>=2s)={vx_steady:.3f} m/s")
     key = "policy" if use else "zero_action"
     results[key] = {"mean_reward_per_step": round(float(rs.mean()), 4),
                     "mean_episode_return": round(ep_return, 2),
                     "mean_survival_s": round(float(surv.mean()), 3),
                     "survival_full_horizon_pct": round(
                         float((surv >= full_eps).mean() * 100), 1),
-                    "mean_forward_vx_alive": round(vx_alive, 4)}
+                    "mean_forward_vx_alive": round(vx_alive, 4),
+                    "mean_forward_vx_steady": round(vx_steady, 4)}
 if _args.json_out:
     with open(_args.json_out, "w") as f:
         json.dump(results, f, indent=1)

@@ -425,7 +425,8 @@ def rollout_fidelity(scene, mode, steps, every, dt):
     return np.stack(traj), time.time() - t0
 
 
-def bench_fidelity_seq(steps=1000, heavy_steps=250, out_json=None):
+def bench_fidelity_seq(steps=1000, heavy_steps=250, out_json=None,
+                       budget_s=None):
     """BASELINE fidelity row, made honest on-chip (VERDICT r4 #2/#3): for
     EVERY golden scene, run BOTH sequential-impulse paths on the same
     device — 'scan' (XLA lax.scan over contact rows) and 'fused_seq'
@@ -447,11 +448,30 @@ def bench_fidelity_seq(steps=1000, heavy_steps=250, out_json=None):
     spec.loader.exec_module(m)
 
     heavy = {"ragdoll_settle", "constraint_zoo", "mixed_shape_drop"}
-    devs, dual, curves = {}, {}, {}
+    devs, dual, curves, steps_run = {}, {}, {}, {}
     total_steps, total_wall = 0, 0.0
+    t_start = time.time()
     for name, b in m.scenes():
         scene = b.finalize()
         n_steps = heavy_steps if name in heavy else steps
+        # budget-adaptive horizon (round 5): the full 6-scene dual-path
+        # run is ~8-10 min of device time — past the driver bench's
+        # per-config window. Scale the horizon to what fits (never below
+        # 250 steps, the divergence-onset window for every scene;
+        # fidelity_steps actually run are reported per scene). The
+        # committed full-1k artifact lives in docs/fidelity_r5_onchip.json
+        # (chip-worker run, round 5).
+        if budget_s is not None and total_wall > 0:
+            remain = budget_s - (time.time() - t_start)
+            # both modes run the same horizon; 0.45 leaves comparison +
+            # compile slack; rate measured on fused_seq walls so far
+            afford = int(remain * (total_steps / max(total_wall, 1e-9))
+                         * 0.45 / m.GOLDEN_EVERY) * m.GOLDEN_EVERY
+            if afford < 250:
+                steps_run[name] = 0
+                continue
+            n_steps = max(250, min(n_steps, afford))
+        steps_run[name] = n_steps
         trajs = {}
         for mode in ("fused_seq", "scan"):
             trajs[mode], wall = rollout_fidelity(
@@ -477,7 +497,7 @@ def bench_fidelity_seq(steps=1000, heavy_steps=250, out_json=None):
                            "per_checkpoint_scan_vs_seq": curves}, f,
                           indent=1)
     rate = total_steps / max(total_wall, 1e-9)
-    return rate, devs, dual
+    return rate, devs, dual, steps_run
 
 
 class _Reporter:
@@ -788,10 +808,16 @@ def main():
         raise last
 
     def do_fidelity_seq():
-        r, devs, dual = bench_fidelity_seq(
+        r, devs, dual, steps_run = bench_fidelity_seq(
             steps=1000 if on_tpu else 50,
-            heavy_steps=250 if on_tpu else 25)
+            heavy_steps=250 if on_tpu else 25,
+            # match run_config's SIGALRM window (240 s cap, 20 s tail
+            # reserve) minus write-out slack: results must land in extras
+            # BEFORE the alarm, or nothing is recorded
+            budget_s=(min(240.0, rep.remaining() - 20) - 15)
+            if on_tpu else None)
         rep.extras.update(
+            fidelity_seq_steps_run=steps_run,
             fidelity_seq_steps_per_s=round(r),
             fidelity_seq_max_dev={k: round(v, 6) for k, v in devs.items()},
             fidelity_onchip_scan_vs_seq={k: round(v, 8)

@@ -787,15 +787,20 @@ def main():
         # fallback chain (VERDICT r4 #1b): if the fused kernel dies in the
         # compiler, retry on the XLA jacobi path so SOME on-chip number
         # lands for BASELINE config 4 while the kernel is debugged
+        # batch 128 = one full lane chunk of the fused kernel (CB=128);
+        # the old batch 64 idled half the vector lanes (same starvation
+        # the zoo had at 64 — PERF_NOTES round-5 "lane-starved zoo")
+        cv_batch = 128 if on_tpu else 2
         last = None
         for mode in ("fused", "jacobi"):
             try:
                 r, c = bench_cloth_vehicle_heightfield(
-                    aux_batch, args.steps, args.iters,
+                    cv_batch, args.steps, args.iters,
                     args.solver_iterations, solver_mode=mode)
                 rep.extras.update(cloth_vehicle_hf_body_steps_per_s=round(r),
                                   cloth_vehicle_hf_compile_s=round(c, 1),
-                                  cloth_vehicle_hf_solver_mode=mode)
+                                  cloth_vehicle_hf_solver_mode=mode,
+                                  cloth_vehicle_hf_batch=cv_batch)
                 return
             except _ConfigTimeout:
                 raise

@@ -462,20 +462,23 @@ def _round128(x):
     return ((x + 127) // 128) * 128
 
 
-def _mxu_t(x):
+def _mxu_t(x, precision=jax.lax.Precision.HIGHEST):
     """Transpose (CB, X) -> (X, CB) on the MXU: contract the CB axis
     against a CB x CB identity, free of the lane-alignment constraints
-    tpu.transpose and DMA slicing impose. Precision must be HIGHEST: at
-    the TPU's DEFAULT f32 matmul precision the MXU truncates inputs to
+    tpu.transpose and DMA slicing impose. Default precision is HIGHEST:
+    at the TPU's DEFAULT f32 matmul precision the MXU truncates inputs to
     bf16 (measured 2.5e-3 relative, round-5 job 06), so an identity
     product is NOT a transpose — it bf16-rounds every value it moves.
     That truncation on the kernel's velocity boundary was the round-4
-    free-flight fidelity drift."""
+    free-flight fidelity drift. State/velocity boundaries must keep
+    HIGHEST; param/table transposes in the production averaged solve may
+    pass DEFAULT (bf16 param rounding is within solver tolerance, and
+    the 6-pass HIGHEST transposes cost ~20% runtime — r5 job 10)."""
     ident = jnp.eye(x.shape[0], dtype=jnp.float32)
     return jax.lax.dot_general(
         x, ident, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+        precision=precision)
 
 
 def _hinge_field_rows(t, j):

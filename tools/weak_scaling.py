@@ -12,6 +12,13 @@ about the same as N envs on 1 device (accidental replication would do
 8x the work and show ~8x the time). `replication_check` captures that
 ratio; the test gate lives in tests/test_weak_scaling.py.
 
+Wall-clock on a timeshared core is noisy, so the load-bearing evidence is
+`cost_analysis`: XLA's exact per-device FLOP count for the compiled SPMD
+step. At fixed envs/device it must stay ~constant as devices grow (each
+device compiles a program for only its shard — weak scaling by
+construction); at fixed TOTAL envs it must drop ~1/D (no replication).
+This is deterministic compiler output, not a measurement.
+
 Run: PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
      XLA_FLAGS='--xla_force_host_platform_device_count=8 \
                 --xla_disable_hlo_passes=fusion' \
@@ -79,6 +86,44 @@ def main():
     results = {"envs_per_dev": args.envs_per_dev, "steps": args.steps,
                "physical_cores": os.cpu_count(),
                "platform": jax.devices()[0].platform}
+
+    # Exact per-device FLOPs from the compiled SPMD program (see module
+    # docstring: deterministic, unlike single-core wall clock).
+    def per_device_flops(n_devices, num_envs):
+        mesh = make_env_mesh(n_devices)
+        keys = jax.random.split(jax.random.PRNGKey(0), num_envs)
+        st, _ = jax.jit(jax.vmap(env.reset))(keys)
+        st = shard_env_batch(mesh, st)
+        actions = jnp.zeros((num_envs, 27))
+
+        def one(s):
+            c, _o, _r, _d = jax.vmap(env.step)(s, actions)
+            return c
+
+        with mesh:
+            ca = jax.jit(one).lower(st).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        return float(ca["flops"])
+
+    weak_flops = {d: per_device_flops(d, d * args.envs_per_dev)
+                  for d in (1, 2, 4, 8)}
+    total = 8 * args.envs_per_dev
+    mono_flops = per_device_flops(1, total)
+    shard_flops = per_device_flops(8, total)
+    results["cost_analysis"] = {
+        "per_device_flops_fixed_envs_per_dev":
+            {str(d): round(f) for d, f in weak_flops.items()},
+        "weak_flops_overhead_8dev_vs_1dev":
+            round(weak_flops[8] / weak_flops[1], 4),
+        "fixed_total_envs": total,
+        "per_device_flops_1dev": round(mono_flops),
+        "per_device_flops_8dev": round(shard_flops),
+        "shard_fraction_8dev": round(shard_flops / mono_flops, 4),
+    }
+    print(f"cost analysis: per-device flops 1dev={weak_flops[1]:,.0f} "
+          f"8dev={weak_flops[8]:,.0f} (x{weak_flops[8]/weak_flops[1]:.3f}); "
+          f"fixed-total shard fraction {shard_flops/mono_flops:.4f} "
+          f"(ideal 0.125)", file=sys.stderr)
 
     # weak scaling: fixed envs/device
     rates = {}

@@ -388,7 +388,8 @@ def bench_cloth_vehicle_heightfield(batch, steps, iters_timed,
         hinge_max_torque=c.hinge_max_torque.at[veh.motor_hinge].set(500.0))
     scene = scene.replace(default_controls=c)
     settings = PhysicsSettings(num_rigid_solver_iterations=solver_iterations,
-                               solver_mode=solver_mode)
+                               solver_mode=solver_mode,
+                               cloth_solver_mode="colored")
     state = _broadcast_state(scene, batch)
     return _time_batched_steps(scene, settings, state, steps, iters_timed, 16)
 

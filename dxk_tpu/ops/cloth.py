@@ -187,6 +187,100 @@ def apply_wind_force(params: ClothParams, state: ClothState, force):
     return state.replace(forces=forces)
 
 
+_COLOR_CACHE = {}
+
+
+def _constraint_colors(params):
+    """Build-time greedy edge coloring of the distance-constraint graph:
+    constraints in one color share no particle, so a whole color solves
+    in ONE vectorized update (conflict-free Gauss-Seidel — the same
+    trade the rigid solver's 'colored' mode makes, ops/solver.py). A
+    12x12 grid cloth (structural+shear+bend) colors into ~12 groups.
+
+    Returns a list of np.int32 index arrays into params.constraints.
+    Cached per constraint array (scene-constant)."""
+    cons = np.asarray(params.constraints)
+    key = (cons.shape[0], cons.tobytes()[:64].__hash__())
+    hit = _COLOR_CACHE.get(key)
+    if hit is not None and np.array_equal(hit[0], cons):
+        return hit[1]
+    used = []          # per color: set of particles
+    colors = []        # per color: list of constraint indices
+    for i, (a, b) in enumerate(cons):
+        for c in range(len(colors)):
+            if a not in used[c] and b not in used[c]:
+                colors[c].append(i)
+                used[c].update((int(a), int(b)))
+                break
+        else:
+            colors.append([i])
+            used.append({int(a), int(b)})
+    out = [np.asarray(c, np.int32) for c in colors]
+    _COLOR_CACHE[key] = (cons, out)
+    return out
+
+
+def _colored_ops(params, idx):
+    """Static one-hot gather/incidence matrices for one color: OH (2M, P)
+    selects (a-endpoints; b-endpoints); applying OH.T places per-endpoint
+    corrections back (exact — endpoints within a color are unique).
+    Matmuls with these constants are how indexed access stays on the MXU
+    instead of lowering to per-element gathers/scatters (CLAUDE.md
+    tpu_gather rule; table here is P<=few-hundred particles)."""
+    cons = np.asarray(params.constraints)[idx]
+    P = int(params.inv_masses.shape[0])
+    M = len(idx)
+    oh = np.zeros((2 * M, P), np.float32)
+    oh[np.arange(M), cons[:, 0]] = 1.0
+    oh[np.arange(M, 2 * M), cons[:, 1]] = 1.0
+    return jnp.asarray(oh)
+
+
+def _solve_positions_colored(params, positions):
+    """solvePositions with conflict-free color batching: same per-
+    constraint math as _solve_positions_scan, Gauss-Seidel ACROSS colors,
+    parallel within one (order-divergent from the reference's sweep but
+    the same fixed point — like the rigid 'colored' solver mode).
+    Correction deltas ride DEFAULT-precision matmuls (bf16-rounded once
+    per color; positions themselves stay f32)."""
+    inv_mass = params.inv_masses
+    for idx in _constraint_colors(params):
+        oh = _colored_ops(params, idx)
+        M = len(idx)
+        rest_sq = params.rest_lengths[idx] ** 2
+        ims = params.inv_mass_sums[idx]
+        ends = jnp.einsum("mp,pc->mc", oh, positions)     # (2M, 3)
+        delta = ends[M:] - ends[:M]
+        ln = jnp.sum(delta * delta, -1)
+        active = (ims > 0.0) & (rest_sq + ln > 1e-5)
+        k = jnp.where(active, (rest_sq - ln)
+                      / jnp.maximum(ims * (rest_sq + ln), 1e-30), 0.0)
+        wa = inv_mass[params.constraints[idx, 0]]
+        wb = inv_mass[params.constraints[idx, 1]]
+        corr = jnp.concatenate([-delta * (k * wa)[:, None],
+                                delta * (k * wb)[:, None]])
+        positions = positions + jnp.einsum("mp,mc->pc", oh, corr)
+    return positions
+
+
+def _solve_velocities_colored(params, velocities, gradients,
+                              inv_scaled_grad_sq):
+    """solveVelocities, color-batched (see _solve_positions_colored)."""
+    inv_mass = params.inv_masses
+    for idx in _constraint_colors(params):
+        oh = _colored_ops(params, idx)
+        M = len(idx)
+        g = gradients[idx]
+        ends = jnp.einsum("mp,pc->mc", oh, velocities)
+        j = -jnp.sum(g * (ends[:M] - ends[M:]), -1) * inv_scaled_grad_sq[idx]
+        wa = inv_mass[params.constraints[idx, 0]]
+        wb = inv_mass[params.constraints[idx, 1]]
+        corr = jnp.concatenate([g * (j * wa)[:, None],
+                                -g * (j * wb)[:, None]])
+        velocities = velocities + jnp.einsum("mp,mc->pc", oh, corr)
+    return velocities
+
+
 def _solve_positions_scan(params, positions):
     """solvePositions (cloth.cpp:300-318), sequential like the reference."""
     cons = params.constraints
@@ -249,6 +343,11 @@ def cloth_step(params: ClothParams, state: ClothState, settings,
 
     inv_dt = jnp.where(dt > 1e-5, 1.0 / dt, 1.0)
 
+    colored = getattr(settings, "cloth_solver_mode", "scan") == "colored"
+    solve_pos = _solve_positions_colored if colored else _solve_positions_scan
+    solve_vel = (_solve_velocities_colored if colored
+                 else _solve_velocities_scan)
+
     if settings.num_cloth_velocity_iterations > 0:
         cons = params.constraints
         grad = prev[cons[:, 1]] - prev[cons[:, 0]]
@@ -256,18 +355,18 @@ def cloth_step(params: ClothParams, state: ClothState, settings,
         inv_sgsq = jnp.where(params.inv_mass_sums == 0.0, 0.0,
                              1.0 / jnp.maximum(denom, 1e-30))
         for _ in range(settings.num_cloth_velocity_iterations):
-            vel = _solve_velocities_scan(params, vel, grad, inv_sgsq)
+            vel = solve_vel(params, vel, grad, inv_sgsq)
         pos = prev + vel * dt
 
     if settings.num_cloth_position_iterations > 0:
         for _ in range(settings.num_cloth_position_iterations):
-            pos = _solve_positions_scan(params, pos)
+            pos = solve_pos(params, pos)
         vel = (pos - prev) * inv_dt
 
     if settings.num_cloth_drift_iterations > 0:
         drift_prev = pos
         for _ in range(settings.num_cloth_drift_iterations):
-            pos = _solve_positions_scan(params, pos)
+            pos = solve_pos(params, pos)
         vel = vel + (pos - drift_prev) * inv_dt
 
     impulses = None

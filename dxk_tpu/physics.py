@@ -48,6 +48,11 @@ class PhysicsSettings:
     num_cloth_velocity_iterations: int = struct.field(pytree_node=False, default=0)
     num_cloth_position_iterations: int = struct.field(pytree_node=False, default=1)
     num_cloth_drift_iterations: int = struct.field(pytree_node=False, default=0)
+    # "scan" = the reference's sequential constraint sweep (exact);
+    # "colored" = build-time conflict-free color batches solved via
+    # constant one-hot MXU matmuls — no per-constraint scan/scatter ops,
+    # same fixed point, order-divergent trajectories (ops/cloth.py)
+    cloth_solver_mode: str = struct.field(pytree_node=False, default="scan")
     solver_mode: str = struct.field(pytree_node=False, default="scan")
     sor_omega: float = struct.field(pytree_node=False, default=1.0)
     # debug-mode NaN/Inf stage sweeps (VALIDATE analog, physics.cpp:807-926);
@@ -284,9 +289,10 @@ def _physics_step_p(scene, state, settings, dt):
     # physics.cpp:1238-1248)
     hf_contacts = None
     if scene.heightfield is not None:
-        from dxk_tpu.ops.heightmap import heightfield_contacts
+        from dxk_tpu.ops.heightmap import heightfield_contacts, heightfield_plan
         hf_contacts = heightfield_contacts(
-            scene.heightfield, w, w.body, mn, mx, scene.num_bodies)
+            scene.heightfield, w, w.body, mn, mx, scene.num_bodies,
+            plan=heightfield_plan(scene))
 
     # 4: trigger / force-field overlaps -> interactions
     trigger_overlap = None
@@ -477,9 +483,10 @@ def _physics_step_fused(scene, state, settings, dt, controls, tracker,
     # heightfield terrain contacts: XLA narrowphase+prep, passed into the
     # kernel as the trailing pseudo-group (see fused_step._group_static)
     if scene.heightfield is not None:
-        from dxk_tpu.ops.heightmap import heightfield_contacts
+        from dxk_tpu.ops.heightmap import heightfield_contacts, heightfield_plan
         hpts, hnrm, hdps, hba, hbb, hfr, hre, hcm = heightfield_contacts(
-            scene.heightfield, w, w.body, mn, mx, scene.num_bodies)
+            scene.heightfield, w, w.body, mn, mx, scene.num_bodies,
+            plan=heightfield_plan(scene))
         passed.append(prep_contacts(
             bodies, hba, hbb, hpts, hnrm, hdps, hfr, hre,
             hcm.astype(hpts.dtype), dt))

@@ -80,7 +80,8 @@ def main():
         try:
             scene = build(**kw)
             settings = PhysicsSettings(num_rigid_solver_iterations=si,
-                                       solver_mode=mode)
+                                       solver_mode=mode,
+                                       cloth_solver_mode="colored")
             state = bench._broadcast_state(scene, batch)
             t0 = time.time()
             r, c = bench._time_batched_steps(scene, settings, state,
